@@ -1,0 +1,124 @@
+"""Configuration dataclasses for the TPU-native Conv-TasNet framework.
+
+The 11 model hyperparameters mirror the canonical capability surface of the
+reference implementation (see /root/reference/src/conv_tasnet.py:14-35 and
+/root/reference/src/train.py:31-52), but everything downstream is designed
+TPU-first: static shapes, channels-last layouts, bf16 matmuls with f32
+accumulation, and mesh-sharding knobs that have no reference analogue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# Reference numerical epsilon (conv_tasnet.py:10, pit_criterion.py:9).
+EPS = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTasNetConfig:
+    """Model hyperparameters.
+
+    Attributes mirror the reference naming (conv_tasnet.py:16-28):
+      N: number of encoder/decoder basis filters
+      L: filter length in samples (stride is L // 2, 50% overlap)
+      B: bottleneck channels (1x1 conv)
+      H: channels inside each temporal block
+      P: depthwise conv kernel size
+      X: number of blocks per repeat (dilations 2**0 .. 2**(X-1))
+      R: number of repeats
+      C: number of speakers to separate
+      norm_type: one of "gLN", "cLN", "BN"
+      causal: causal (left-pad + cLN recommended) or non-causal
+      mask_nonlinear: "relu" or "softmax" mask activation
+    """
+
+    N: int = 256
+    L: int = 20
+    B: int = 256
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 4
+    C: int = 2
+    norm_type: str = "gLN"
+    causal: bool = False
+    mask_nonlinear: str = "relu"
+
+    # --- TPU-native knobs (no reference analogue) ---
+    # Matmul compute dtype; params and norm statistics always stay f32.
+    compute_dtype: str = "bfloat16"
+    # Rematerialize each repeat during backprop (trade FLOPs for HBM).
+    remat: bool = False
+    # Reference quirk: xavier-normal init is applied to EVERY parameter with
+    # ndim > 1 (conv_tasnet.py:41-43), which *includes* the [1, ch, 1]
+    # gamma/beta of gLN/cLN, silently overwriting their 1/0 init
+    # (conv_tasnet.py:315-317). True reproduces that behavior; False keeps
+    # gamma=1, beta=0.
+    reference_norm_init: bool = True
+    # Use Pallas kernels for the hot ops where available (XLA fallback
+    # otherwise). Auto-disabled off-TPU.
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.norm_type not in ("gLN", "cLN", "BN"):
+            raise ValueError(f"unsupported norm_type: {self.norm_type}")
+        if self.mask_nonlinear not in ("relu", "softmax"):
+            raise ValueError(f"unsupported mask_nonlinear: {self.mask_nonlinear}")
+        if self.L % 2 != 0:
+            raise ValueError("L must be even (stride is L // 2)")
+
+    @property
+    def stride(self) -> int:
+        return self.L // 2
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+    def num_frames(self, T: int) -> int:
+        """K = (T - L) // (L/2) + 1 (conv_tasnet.py:113)."""
+        return (T - self.L) // self.stride + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Trainer knobs mirroring the reference CLI surface (train.py:53-98)."""
+
+    epochs: int = 30
+    half_lr: bool = True
+    early_stop: bool = True
+    max_norm: float = 5.0  # global grad-norm clip (solver.py:184-185)
+    batch_size: int = 3
+    optimizer: str = "adam"  # "adam" | "sgd"
+    lr: float = 1e-3
+    momentum: float = 0.0
+    l2: float = 0.0  # weight decay
+    # Data
+    sample_rate: int = 8000
+    segment: float = 4.0  # seconds; < 0 means full utterances
+    cv_maxlen: float = 8.0  # seconds
+    shuffle: bool = False
+    # Checkpointing
+    save_folder: str = "exp/temp"
+    checkpoint: bool = False  # save per-epoch checkpoints
+    continue_from: str = ""
+    model_path: str = "final.ckpt"
+    # Logging
+    print_freq: int = 10
+    seed: int = 0
+    # Parallelism (TPU-native; no reference analogue)
+    dp: int = 1  # data-parallel mesh size
+    tp: int = 1  # tensor-parallel (shard H / C*N channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    model_path: str = ""
+    data_dir: str = ""
+    cal_sdr: bool = False
+    sample_rate: int = 8000
+    batch_size: int = 1

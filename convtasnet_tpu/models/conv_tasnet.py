@@ -1,0 +1,278 @@
+"""Conv-TasNet, TPU-native.
+
+Functional re-design of the reference model (conv_tasnet.py:13-355), not a
+port:
+
+* Layout is time-major channels-last [M, K, ch] so every 1x1 conv is one
+  large [M*K, in] @ [in, out] MXU matmul (bf16 in, f32 accumulate) and the
+  channel dim rides the TPU lane dimension.
+* The encoder's strided conv (conv_tasnet.py:106) becomes frame-as-matmul:
+  [M, K, L] @ [L, N].
+* The R repeats run under lax.scan with parameters stacked on a leading
+  [R, ...] axis (one compiled body instead of R copies); the X blocks per
+  repeat are unrolled because each has a distinct static dilation 2**x
+  (conv_tasnet.py:174-176). Optional jax.checkpoint per repeat trades
+  recompute for HBM.
+* All parameters are f32 pytrees; activations flow in cfg.compute_dtype.
+
+Exact reference semantics preserved: ReLU-nonnegative encoder output
+(conv_tasnet.py:116), always-cLN input norm (conv_tasnet.py:167), residual
+add without ReLU (conv_tasnet.py:237), causal chomp (conv_tasnet.py:251),
+relu/softmax masks (conv_tasnet.py:203-208), overlap-add decode + zero-pad
+back to the input length (conv_tasnet.py:128-142, :57-59).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ConvTasNetConfig
+from ..ops.activations import prelu
+from ..ops.conv import depthwise_dilated, pointwise
+from ..ops.framing import frame_signal, overlap_and_add
+from ..ops.norms import apply_norm
+from ..utils.initializers import xavier_normal
+
+Params = Dict[str, Any]
+State = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Init
+# --------------------------------------------------------------------------
+
+def init_params(key: jax.Array, cfg: ConvTasNetConfig) -> Tuple[Params, State]:
+    """Build the parameter/state pytrees.
+
+    Reproduces the reference init distribution: xavier-normal on every
+    torch-param with ndim > 1 — including gLN/cLN gamma/beta [1, ch, 1]
+    (conv_tasnet.py:41-43, a quirk kept behind cfg.reference_norm_init) —
+    PReLU slopes at 0.25, BN affine at 1/0 (ndim-1 params are untouched by
+    the reference loop).
+    """
+    N, L, B, H, P, X, R, C = (
+        cfg.N, cfg.L, cfg.B, cfg.H, cfg.P, cfg.X, cfg.R, cfg.C,
+    )
+    keys = iter(jax.random.split(key, 16 + 8 * R * X))
+
+    def norm_init(k, ch, norm_type):
+        # gLN/cLN gamma/beta are torch shape [1, ch, 1] (ndim 3 -> xavier'd
+        # when reference_norm_init); BN affine is torch shape [ch] (ndim 1 ->
+        # always 1/0).
+        if norm_type in ("gLN", "cLN") and cfg.reference_norm_init:
+            k1, k2 = jax.random.split(k)
+            return (
+                xavier_normal(k1, (1, ch, 1), (ch,)),
+                xavier_normal(k2, (1, ch, 1), (ch,)),
+            )
+        return jnp.ones((ch,)), jnp.zeros((ch,))
+
+    enc_U = xavier_normal(next(keys), (N, 1, L), (L, N))
+    dec_V = xavier_normal(next(keys), (L, N), (N, L))
+
+    ln_gamma, ln_beta = norm_init(next(keys), N, "cLN")  # always cLN
+    bottleneck_w = xavier_normal(next(keys), (B, N, 1), (N, B))
+    mask_w = xavier_normal(next(keys), (C * N, B, 1), (B, C * N))
+
+    def stack(fn):
+        rows = [[fn(next(keys)) for _ in range(X)] for _ in range(R)]
+        return jnp.stack([jnp.stack(r) for r in rows])
+
+    blocks = {
+        "in_w": stack(lambda k: xavier_normal(k, (H, B, 1), (B, H))),
+        "in_prelu": jnp.full((R, X), 0.25),
+        "dw_w": stack(lambda k: xavier_normal(k, (H, 1, P), (P, H))),
+        "dw_prelu": jnp.full((R, X), 0.25),
+        "out_w": stack(lambda k: xavier_normal(k, (B, H, 1), (H, B))),
+    }
+    for site in ("in", "dw"):
+        gs, bs = [], []
+        for _ in range(R):
+            grow, brow = [], []
+            for _ in range(X):
+                g, b = norm_init(next(keys), H, cfg.norm_type)
+                grow.append(g)
+                brow.append(b)
+            gs.append(jnp.stack(grow))
+            bs.append(jnp.stack(brow))
+        blocks[f"{site}_gamma"] = jnp.stack(gs)
+        blocks[f"{site}_beta"] = jnp.stack(bs)
+
+    params: Params = {
+        "encoder": {"U": enc_U},
+        "separator": {
+            "ln": {"gamma": ln_gamma, "beta": ln_beta},
+            "bottleneck": {"w": bottleneck_w},
+            "blocks": blocks,
+            "mask": {"w": mask_w},
+        },
+        "decoder": {"V": dec_V},
+    }
+
+    state: State = {}
+    if cfg.norm_type == "BN":
+        state = {
+            "blocks": {
+                "in_mean": jnp.zeros((R, X, H)),
+                "in_var": jnp.ones((R, X, H)),
+                "dw_mean": jnp.zeros((R, X, H)),
+                "dw_var": jnp.ones((R, X, H)),
+            }
+        }
+    return params, state
+
+
+# --------------------------------------------------------------------------
+# Forward
+# --------------------------------------------------------------------------
+
+def encode(params: Params, cfg: ConvTasNetConfig, mixture: jnp.ndarray) -> jnp.ndarray:
+    """Learned analysis basis: [M, T] -> nonnegative [M, K, N]."""
+    dt = cfg.dtype
+    frames = frame_signal(mixture, cfg.L, cfg.stride)  # [M, K, L]
+    w = jnp.einsum(
+        "mkl,ln->mkn",
+        frames.astype(dt),
+        params["encoder"]["U"].astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(w, 0.0).astype(dt)
+
+
+def _temporal_block(
+    x: jnp.ndarray,
+    bp: Dict[str, jnp.ndarray],
+    bstate: Optional[Dict[str, jnp.ndarray]],
+    cfg: ConvTasNetConfig,
+    dilation: int,
+    train: bool,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """One residual block (conv_tasnet.py:212-272): 1x1 -> PReLU -> norm ->
+    dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual."""
+    dt = cfg.dtype
+    res = x
+    y = pointwise(x, bp["in_w"], dt).astype(dt)
+    y = prelu(y, bp["in_prelu"])
+    new_state = {} if bstate is not None else None
+    s_in = None if bstate is None else {"mean": bstate["in_mean"], "var": bstate["in_var"]}
+    y, s_in = apply_norm(
+        cfg.norm_type, y, {"gamma": bp["in_gamma"], "beta": bp["in_beta"]}, s_in, train
+    )
+    y = depthwise_dilated(y, bp["dw_w"], dilation, cfg.causal)
+    y = prelu(y, bp["dw_prelu"])
+    s_dw = None if bstate is None else {"mean": bstate["dw_mean"], "var": bstate["dw_var"]}
+    y, s_dw = apply_norm(
+        cfg.norm_type, y, {"gamma": bp["dw_gamma"], "beta": bp["dw_beta"]}, s_dw, train
+    )
+    y = pointwise(y, bp["out_w"], dt).astype(dt)
+    if bstate is not None:
+        new_state = {
+            "in_mean": s_in["mean"], "in_var": s_in["var"],
+            "dw_mean": s_dw["mean"], "dw_var": s_dw["var"],
+        }
+    return res + y, new_state
+
+
+def separate(
+    params: Params,
+    state: State,
+    cfg: ConvTasNetConfig,
+    mixture_w: jnp.ndarray,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, State]:
+    """Mask estimation TCN: [M, K, N] -> ([M, K, C, N] mask, new_state)."""
+    sp = params["separator"]
+    dt = cfg.dtype
+    M, K, N = mixture_w.shape
+
+    # Input norm is ALWAYS cLN regardless of norm_type (conv_tasnet.py:167).
+    x, _ = apply_norm("cLN", mixture_w, sp["ln"], None, train)
+    x = pointwise(x, sp["bottleneck"]["w"], dt).astype(dt)  # [M, K, B]
+
+    has_bn = cfg.norm_type == "BN"
+    block_params = sp["blocks"]
+    block_state = state.get("blocks") if has_bn else None
+
+    def repeat_body(carry, xs):
+        x = carry
+        bp_r, bs_r = xs
+        new_bs_r = {} if bs_r is not None else None
+        for xi in range(cfg.X):
+            bp = {k: v[xi] for k, v in bp_r.items()}
+            bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
+            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train)
+            if nbs is not None:
+                for k, v in nbs.items():
+                    new_bs_r.setdefault(k, []).append(v)
+        if new_bs_r is not None:
+            new_bs_r = {k: jnp.stack(v) for k, v in new_bs_r.items()}
+        return x, new_bs_r
+
+    body = jax.checkpoint(repeat_body) if cfg.remat else repeat_body
+    if has_bn:
+        x, new_block_state = jax.lax.scan(body, x, (block_params, block_state))
+        new_state: State = {"blocks": new_block_state}
+    else:
+        x, _ = jax.lax.scan(body, x, (block_params, None))
+        new_state = state
+
+    score = pointwise(x, sp["mask"]["w"], dt)  # [M, K, C*N] f32
+    score = score.reshape(M, K, cfg.C, N)
+    if cfg.mask_nonlinear == "softmax":
+        mask = jax.nn.softmax(score, axis=2)
+    else:
+        mask = jnp.maximum(score, 0.0)
+    return mask.astype(dt), new_state
+
+
+def decode(
+    params: Params,
+    cfg: ConvTasNetConfig,
+    mixture_w: jnp.ndarray,
+    est_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Masked synthesis + overlap-add: -> [M, C, (K-1)*S + L] float32."""
+    dt = cfg.dtype
+    source_w = mixture_w[:, :, None, :] * est_mask  # [M, K, C, N]
+    est_frames = jnp.einsum(
+        "mkcn,nl->mckl",
+        source_w.astype(dt),
+        params["decoder"]["V"].astype(dt),
+        preferred_element_type=jnp.float32,
+    )  # [M, C, K, L] f32
+    return overlap_and_add(est_frames, cfg.stride)
+
+
+def forward(
+    params: Params,
+    state: State,
+    cfg: ConvTasNetConfig,
+    mixture: jnp.ndarray,
+    train: bool = False,
+) -> Tuple[jnp.ndarray, State]:
+    """Full model: [M, T] -> ([M, C, T] float32 estimates, new_state)."""
+    mixture_w = encode(params, cfg, mixture)
+    est_mask, new_state = separate(params, state, cfg, mixture_w, train)
+    est_source = decode(params, cfg, mixture_w, est_mask)
+    T, T_conv = mixture.shape[-1], est_source.shape[-1]
+    est_source = jnp.pad(est_source, ((0, 0), (0, 0), (0, T - T_conv)))
+    return est_source, new_state
+
+
+class ConvTasNet:
+    """Thin OO wrapper over the pure functions (cfg is static/hashable)."""
+
+    def __init__(self, cfg: ConvTasNetConfig):
+        self.cfg = cfg
+
+    def init(self, key: jax.Array) -> Tuple[Params, State]:
+        return init_params(key, self.cfg)
+
+    def apply(self, params, state, mixture, train: bool = False):
+        return forward(params, state, self.cfg, mixture, train)
+
+    def num_params(self, params: Params) -> int:
+        return sum(p.size for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,114 @@
+"""Utterance-level permutation-invariant SI-SNR (uPIT) loss.
+
+Fully-vectorized re-design of the reference criterion
+(pit_criterion.py:12-113): the pairwise C x C SI-SNR table, the C!
+permutation search (einsum against one-hot permutation matrices), the
+argmax reorder, and the length masking all run on-device with static
+shapes — no Python loops over batch or channels (the reference reorders
+with an explicit B x C loop at pit_criterion.py:94-97 and builds the mask
+with a loop at :110-112).
+
+Semantics are bit-matched to the reference, including its quirks:
+  * estimates are masked before zero-meaning; means divide by the true
+    lengths but sum over padded positions (pit_criterion.py:37-48)
+  * EPS=1e-8 added to target energy, to the ratio denominator, and inside
+    log10 (pit_criterion.py:56,:61-62)
+  * max SNR is divided by C and the loss is -mean over the batch
+    (pit_criterion.py:22,:75)
+  * reorder uses the argmax permutation DIRECTLY, not its inverse
+    (pit_criterion.py:91-97) — identical for C=2 (all permutations are
+    involutions), kept for parity at C>=3.
+"""
+
+from __future__ import annotations
+
+from itertools import permutations
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EPS
+
+
+def length_mask(lengths: jnp.ndarray, T: int) -> jnp.ndarray:
+    """[B] lengths -> [B, 1, T] {0,1} float mask."""
+    return (jnp.arange(T)[None, :] < lengths[:, None]).astype(jnp.float32)[:, None, :]
+
+
+def perm_matrix(C: int) -> np.ndarray:
+    """All permutations of range(C) as a static [C!, C] int array."""
+    return np.array(list(permutations(range(C))), dtype=np.int32)
+
+
+def si_snr_with_pit(
+    source: jnp.ndarray,
+    estimate: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Max-permutation SI-SNR per utterance.
+
+    Args:
+      source: [B, C, T] targets, zero beyond lengths.
+      estimate: [B, C, T] model output.
+      lengths: [B] valid sample counts.
+    Returns:
+      (max_snr [B], best_perm [B, C], masked_estimate [B, C, T])
+    """
+    B, C, T = source.shape
+    source = source.astype(jnp.float32)
+    estimate = estimate.astype(jnp.float32)
+    mask = length_mask(lengths, T)  # [B, 1, T]
+    estimate = estimate * mask
+
+    n = lengths.astype(jnp.float32)[:, None, None]
+    zm_src = source - jnp.sum(source, axis=2, keepdims=True) / n
+    zm_est = estimate - jnp.sum(estimate, axis=2, keepdims=True) / n
+    zm_src = zm_src * mask
+    zm_est = zm_est * mask
+
+    # Pairwise projection SI-SNR: [B, i_est, j_src].
+    s_src = zm_src[:, None, :, :]  # [B, 1, C, T]
+    s_est = zm_est[:, :, None, :]  # [B, C, 1, T]
+    dot = jnp.sum(s_est * s_src, axis=3, keepdims=True)  # [B, C, C, 1]
+    src_energy = jnp.sum(s_src**2, axis=3, keepdims=True) + EPS
+    proj = dot * s_src / src_energy  # [B, C, C, T]
+    noise = s_est - proj
+    ratio = jnp.sum(proj**2, axis=3) / (jnp.sum(noise**2, axis=3) + EPS)
+    pair_snr = 10.0 * jnp.log10(ratio + EPS)  # [B, C, C]
+
+    perms = jnp.asarray(perm_matrix(C))  # [C!, C]
+    # snr_set[b, p] = sum_i pair_snr[b, i, perms[p, i]]
+    snr_set = jnp.sum(
+        jnp.take_along_axis(
+            pair_snr[:, None, :, :],  # [B, 1, C, C]
+            perms[None, :, :, None],  # [1, C!, C, 1]
+            axis=3,
+        )[..., 0],
+        axis=2,
+    )  # [B, C!]
+    best_idx = jnp.argmax(snr_set, axis=1)  # [B]
+    max_snr = jnp.max(snr_set, axis=1) / C  # [B]
+    best_perm = perms[best_idx]  # [B, C]
+    return max_snr, best_perm, estimate
+
+
+def reorder_source(source: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """reorder[b, c] = source[b, perm[b, c]] — vectorized take_along_axis
+    replacing the reference's B x C Python loop (pit_criterion.py:94-97)."""
+    return jnp.take_along_axis(source, perm[:, :, None], axis=1)
+
+
+def cal_loss(
+    source: jnp.ndarray,
+    estimate: jnp.ndarray,
+    lengths: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reference-compatible entry (pit_criterion.py:12-24).
+
+    Returns (loss scalar, max_snr [B], masked_estimate, reordered_estimate).
+    """
+    max_snr, best_perm, masked_est = si_snr_with_pit(source, estimate, lengths)
+    loss = -jnp.mean(max_snr)
+    reordered = reorder_source(masked_est, best_perm)
+    return loss, max_snr, masked_est, reordered
