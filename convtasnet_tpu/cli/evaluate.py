@@ -1,0 +1,91 @@
+"""Evaluate CLI: SI-SNRi (and optional SDRi) over a manifest directory.
+
+Mirrors the reference evaluation loop exactly (evaluate.py:35-87):
+full-utterance batches, forward, uPIT loss to obtain the PIT-reordered
+estimates, per-utterance SI-SNRi with the mixture baseline and SDRi with
+the duplicated-mixture anchor, then dataset averages."""
+
+from __future__ import annotations
+
+import argparse
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import AudioDataset, DataLoader
+from ..ops.loss import cal_loss
+from ..ops.metrics import sdr_improvement, si_snr_improvement
+from ..training.checkpoint import load_model
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Evaluate separation performance")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--data_dir", type=str, required=True,
+                   help="directory including mix.json, s1.json, s2.json")
+    p.add_argument("--cal_sdr", type=int, default=0,
+                   help="also compute SDRi (slow host-side BSS eval)")
+    p.add_argument("--sample_rate", default=8000, type=int)
+    p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--cv_maxlen", default=1e9, type=float)
+    return p
+
+
+def evaluate(args, log: Callable[[str], None] = print) -> dict:
+    import jax
+
+    cfg, params, state = load_model(args.model_path)
+    dataset = AudioDataset(
+        args.data_dir, args.batch_size, sample_rate=args.sample_rate,
+        segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=cfg.C,
+    )
+    loader = DataLoader(dataset, num_workers=2)
+
+    from ..models.conv_tasnet import forward
+
+    @jax.jit
+    def infer(mixture, source, lengths):
+        est, _ = forward(params, state, cfg, mixture, train=False)
+        _, _, _, reordered = cal_loss(source, est, lengths)
+        return reordered
+
+    total_sisnri = 0.0
+    total_sdri = 0.0
+    count = 0
+    for batch in loader:
+        reordered = np.asarray(
+            infer(jnp.asarray(batch.mixture), jnp.asarray(batch.source),
+                  jnp.asarray(batch.lengths))
+        )
+        for b in range(batch.mixture.shape[0]):
+            n = int(batch.lengths[b])
+            mix = batch.mixture[b, :n]
+            src = batch.source[b, :, :n]
+            est = reordered[b, :, :n]
+            count += 1
+            log(f"Utt {count}")
+            if args.cal_sdr:
+                sdri = sdr_improvement(src, est, mix)
+                total_sdri += sdri
+                log(f"\tSDRi={sdri:.2f}")
+            sisnri = si_snr_improvement(src, est, mix)
+            log(f"\tSI-SNRi={sisnri:.2f}")
+            total_sisnri += sisnri
+
+    result = {"si_snri": total_sisnri / max(count, 1), "count": count}
+    if args.cal_sdr:
+        result["sdri"] = total_sdri / max(count, 1)
+        log(f"Average SDR improvement: {result['sdri']:.2f}")
+    log(f"Average SISNR improvement: {result['si_snri']:.2f}")
+    return result
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(args)
+    return evaluate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Separate CLI: run inference on mixture wavs and write per-speaker wavs.
+
+Mirrors the reference inference tool (separate.py:35-79): loads a
+checkpoint, builds an EvalDataset from --mix_dir or --mix_json, forwards
+each padded batch, trims padding, and writes `<base>.wav` (the mixture)
+plus `<base>_s{c}.wav` per separated speaker as PCM_16."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import DataLoader, EvalDataset
+from ..data.wavio import write_wav
+from ..training.checkpoint import load_model
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Separate speech with a trained model")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--mix_dir", type=str, default=None)
+    p.add_argument("--mix_json", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default="exp/result")
+    p.add_argument("--sample_rate", default=8000, type=int)
+    p.add_argument("--batch_size", default=1, type=int)
+    return p
+
+
+def separate(args) -> int:
+    import jax
+
+    if args.mix_dir is None and args.mix_json is None:
+        raise SystemExit("Must provide mix_dir or mix_json! When providing "
+                         "mix_dir, mix_json is ignored.")
+
+    cfg, params, state = load_model(args.model_path)
+    dataset = EvalDataset(args.mix_dir, args.mix_json,
+                          batch_size=args.batch_size,
+                          sample_rate=args.sample_rate)
+    loader = DataLoader(dataset, num_workers=2)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from ..models.conv_tasnet import forward
+
+    @jax.jit
+    def infer(mixture):
+        est, _ = forward(params, state, cfg, mixture, train=False)
+        return est
+
+    written = 0
+    for batch in loader:
+        est = np.asarray(infer(jnp.asarray(batch.mixture)))  # [B, C, T]
+        for b, filename in enumerate(batch.filenames):
+            n = int(batch.lengths[b])
+            base = os.path.basename(filename)
+            if base.endswith(".wav"):
+                base = base[:-4]
+            out_base = os.path.join(args.out_dir, base)
+            write_wav(out_base + ".wav", batch.mixture[b, :n], args.sample_rate)
+            for c in range(cfg.C):
+                write_wav(f"{out_base}_s{c + 1}.wav", est[b, c, :n], args.sample_rate)
+            written += 1
+    return written
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(args)
+    return separate(args)
+
+
+if __name__ == "__main__":
+    main()

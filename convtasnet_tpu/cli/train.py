@@ -1,0 +1,120 @@
+"""Train CLI mirroring the reference's ~30-flag surface (train.py:15-98),
+plus TPU-native parallelism knobs (--dp/--tp) with no reference analogue."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import ConvTasNetConfig, TrainConfig
+from ..data.dataset import AudioDataset, DataLoader
+from ..models.conv_tasnet import ConvTasNet
+from ..training.solver import Solver
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "TPU-native Conv-TasNet with Permutation Invariant Training"
+    )
+    # Task
+    p.add_argument("--train_dir", type=str, required=True)
+    p.add_argument("--valid_dir", type=str, required=True)
+    p.add_argument("--sample_rate", default=8000, type=int)
+    p.add_argument("--segment", default=4.0, type=float)
+    p.add_argument("--cv_maxlen", default=8.0, type=float)
+    # Network
+    p.add_argument("--N", default=256, type=int)
+    p.add_argument("--L", default=20, type=int)
+    p.add_argument("--B", default=256, type=int)
+    p.add_argument("--H", default=512, type=int)
+    p.add_argument("--P", default=3, type=int)
+    p.add_argument("--X", default=8, type=int)
+    p.add_argument("--R", default=4, type=int)
+    p.add_argument("--C", default=2, type=int)
+    p.add_argument("--norm_type", default="gLN", choices=["gLN", "cLN", "BN"])
+    p.add_argument("--causal", type=int, default=0)
+    p.add_argument("--mask_nonlinear", default="relu", choices=["relu", "softmax"])
+    # Training
+    p.add_argument("--epochs", default=30, type=int)
+    p.add_argument("--half_lr", default=0, type=int)
+    p.add_argument("--early_stop", default=0, type=int)
+    p.add_argument("--max_norm", default=5.0, type=float)
+    # Minibatch
+    p.add_argument("--shuffle", default=0, type=int)
+    p.add_argument("--batch_size", default=128, type=int)
+    p.add_argument("--num_workers", default=4, type=int)
+    # Optimizer
+    p.add_argument("--optimizer", default="adam", choices=["sgd", "adam"])
+    p.add_argument("--lr", default=1e-3, type=float)
+    p.add_argument("--momentum", default=0.0, type=float)
+    p.add_argument("--l2", default=0.0, type=float)
+    # Save/load
+    p.add_argument("--save_folder", default="exp/temp")
+    p.add_argument("--checkpoint", default=0, type=int)
+    p.add_argument("--continue_from", default="")
+    p.add_argument("--model_path", default="final.ckpt")
+    # Logging
+    p.add_argument("--print_freq", default=10, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    # TPU-native
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--remat", default=0, type=int)
+    p.add_argument("--use_pallas", default=0, type=int)
+    p.add_argument("--dp", default=0, type=int,
+                   help="data-parallel size (0 = all devices)")
+    p.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
+    p.add_argument("--pad_to_multiple", default=1, type=int,
+                   help="pad CV batches to a multiple to bound distinct XLA shapes")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(args)
+
+    model_cfg = ConvTasNetConfig(
+        N=args.N, L=args.L, B=args.B, H=args.H, P=args.P, X=args.X, R=args.R,
+        C=args.C, norm_type=args.norm_type, causal=bool(args.causal),
+        mask_nonlinear=args.mask_nonlinear, compute_dtype=args.compute_dtype,
+        remat=bool(args.remat), use_pallas=bool(args.use_pallas),
+    )
+    train_cfg = TrainConfig(
+        epochs=args.epochs, half_lr=bool(args.half_lr),
+        early_stop=bool(args.early_stop), max_norm=args.max_norm,
+        batch_size=args.batch_size, optimizer=args.optimizer, lr=args.lr,
+        momentum=args.momentum, l2=args.l2, sample_rate=args.sample_rate,
+        segment=args.segment, cv_maxlen=args.cv_maxlen,
+        shuffle=bool(args.shuffle), save_folder=args.save_folder,
+        checkpoint=bool(args.checkpoint), continue_from=args.continue_from,
+        model_path=args.model_path, print_freq=args.print_freq, seed=args.seed,
+        dp=args.dp, tp=args.tp,
+    )
+
+    tr_dataset = AudioDataset(
+        args.train_dir, args.batch_size, sample_rate=args.sample_rate,
+        segment=args.segment, num_speakers=args.C,
+    )
+    cv_dataset = AudioDataset(
+        args.valid_dir, batch_size=1, sample_rate=args.sample_rate,
+        segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=args.C,
+        pad_to_multiple=args.pad_to_multiple,
+    )
+    tr_loader = DataLoader(tr_dataset, shuffle=bool(args.shuffle),
+                           num_workers=args.num_workers, seed=args.seed)
+    cv_loader = DataLoader(cv_dataset, num_workers=max(1, args.num_workers // 2))
+
+    model = ConvTasNet(model_cfg)
+
+    shard_batch = shard_params = None
+    if args.dp != 1 or args.tp != 1:
+        from ..parallel.mesh import make_sharders
+
+        shard_batch, shard_params = make_sharders(dp=args.dp, tp=args.tp)
+
+    solver = Solver(model, train_cfg, tr_loader, cv_loader,
+                    shard_batch=shard_batch, shard_params=shard_params)
+    return solver.train()
+
+
+if __name__ == "__main__":
+    main()

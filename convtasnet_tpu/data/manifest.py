@@ -16,12 +16,32 @@ from typing import List, Optional, Tuple
 
 
 def wav_num_samples(path: str, sample_rate: Optional[int] = None) -> int:
-    """Sample count (per channel) from the WAV header; if sample_rate is
-    given and differs from the file rate, returns the post-resample count
-    (ceil(T * target / orig), matching polyphase output length)."""
-    with wave.open(path, "rb") as w:
-        n = w.getnframes()
-        rate = w.getframerate()
+    """Sample count (per channel) from the WAV header — PCM and IEEE-float
+    formats (stdlib wave rejects float). If sample_rate is given and differs
+    from the file rate, returns the post-resample count (ceil(T * target /
+    orig), matching polyphase output length)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate = n_ch = bits = None
+        data_size = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                body = f.read(size + (size & 1))
+                _, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_size = size
+                f.seek(size + (size & 1), 1)
+            else:
+                f.seek(size + (size & 1), 1)
+    if rate is None or data_size is None:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    n = data_size // (n_ch * (bits // 8))
     if sample_rate is not None and rate != sample_rate:
         n = -(-n * sample_rate // rate)
     return n

@@ -1,0 +1,136 @@
+"""Device meshes and sharding rules: data parallel + tensor parallel.
+
+The reference's entire distributed story is single-process
+nn.DataParallel (train.py:121). Here parallelism is mesh-native:
+
+* a ('data', 'model') jax.sharding.Mesh over all addressable devices
+  (multi-host via jax.distributed handled by jax itself)
+* DP: batches sharded over 'data'; XLA emits the gradient all-reduce over
+  ICI during the jitted train step — no hand-written collectives
+* TP (Megatron-style within each temporal block): the H (hidden) axis of
+  in_w / dw_w / norm affines is column-sharded over 'model' and out_w is
+  row-sharded, so the block's two 1x1 matmuls need exactly one psum per
+  block, which the SPMD partitioner inserts; the depthwise conv is
+  per-channel and needs none. gLN/cLN statistics over a sharded H reduce
+  with an automatic psum over 'model'.
+
+Everything here only *annotates* shardings (device_put with NamedSharding);
+pjit/XLA SPMD does the rest — the scaling-book recipe.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh. dp<=0 means 'all remaining devices'."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp <= 0:
+        if n % tp != 0:
+            raise ValueError(f"{n} devices not divisible by tp={tp}")
+        dp = n // tp
+    if dp * tp > n:
+        raise ValueError(f"dp*tp={dp*tp} exceeds {n} devices")
+    grid = mesh_utils.create_device_mesh((dp, tp), devices=devices[: dp * tp])
+    return Mesh(grid, ("data", "model"))
+
+
+# Parameter partition rules: leaf-path substring -> PartitionSpec.
+# Stacked block leaves are [R, X, ...]; the H axis is last for in_w /
+# gamma / beta / dw_w and axis 2 for out_w ([R, X, H, B]).
+_TP_RULES = [
+    ("blocks/in_w", P(None, None, None, "model")),
+    ("blocks/in_gamma", P(None, None, "model")),
+    ("blocks/in_beta", P(None, None, "model")),
+    ("blocks/dw_w", P(None, None, None, "model")),
+    ("blocks/dw_gamma", P(None, None, "model")),
+    ("blocks/dw_beta", P(None, None, "model")),
+    ("blocks/out_w", P(None, None, "model", None)),
+]
+
+
+def _param_spec(path: str, tp: int) -> P:
+    if tp > 1:
+        for key, spec in _TP_RULES:
+            if key in path:
+                return spec
+    return P()  # replicated
+
+
+def _path_to_str(path) -> str:
+    parts = []
+    for e in path:
+        if hasattr(e, "key"):
+            parts.append(str(e.key))
+        elif hasattr(e, "idx"):
+            parts.append(str(e.idx))
+        elif hasattr(e, "name"):
+            parts.append(str(e.name))
+        else:
+            parts.append(str(e))
+    return "/".join(parts)
+
+
+def shard_params_fn(mesh: Mesh, tp: int) -> Callable:
+    """Returns (params, state, opt_state) -> sharded pytrees."""
+
+    def place(tree):
+        def put(path, leaf):
+            spec = _param_spec(_path_to_str(path), tp)
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map_with_path(put, tree)
+
+    def shard(params, state, opt_state):
+        params = place(params)
+        state = place(state)
+        if opt_state is not None:
+            # Optimizer moments mirror the param layout (mu/nu per leaf);
+            # scalars (step/lr) replicate via the default P().
+            opt_state = opt_state.__class__(
+                step=jax.device_put(opt_state.step, NamedSharding(mesh, P())),
+                lr=jax.device_put(opt_state.lr, NamedSharding(mesh, P())),
+                mu=place(opt_state.mu),
+                nu=place(opt_state.nu),
+            )
+        return params, state, opt_state
+
+    return shard
+
+
+def shard_batch_fn(mesh: Mesh) -> Callable:
+    """Returns (mixture, lengths, source) -> device arrays sharded on 'data'.
+
+    Batches whose leading dim doesn't divide the data axis are replicated
+    (slow path, e.g. batch_size=1 CV batches)."""
+    dp = mesh.shape["data"]
+
+    def shard(mixture, lengths, source):
+        b = np.asarray(mixture).shape[0]
+        if b % dp == 0:
+            sb = NamedSharding(mesh, P("data"))
+        else:
+            sb = NamedSharding(mesh, P())
+        out = [
+            jax.device_put(np.asarray(mixture), sb),
+            jax.device_put(np.asarray(lengths), sb),
+        ]
+        if source is not None:
+            out.append(jax.device_put(np.asarray(source), sb))
+        else:
+            out.append(None)
+        return tuple(out)
+
+    return shard
+
+
+def make_sharders(dp: int = 0, tp: int = 1, devices=None) -> Tuple[Callable, Callable]:
+    mesh = make_mesh(dp=dp, tp=tp, devices=devices)
+    return shard_batch_fn(mesh), shard_params_fn(mesh, tp)

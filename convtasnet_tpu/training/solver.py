@@ -1,0 +1,238 @@
+"""Training engine: jitted steps + host epoch loop + LR/stopping policy.
+
+Covers the reference Solver's full behavior (solver.py:12-210) redesigned
+for TPU:
+
+* one jitted, buffer-donating train step (forward, uPIT loss, backward,
+  global-norm clip, optimizer update) instead of eager per-op dispatch
+* the learning rate lives in the optimizer state as a traced scalar, so
+  the reference's LR-halving-on-plateau (solver.py:105-123) requires no
+  recompile
+* per-epoch checkpoint / best-model checkpoint / resume with loss history
+  (solver.py:84-92, :126-136, :50-59)
+* throughput accounting in audio-seconds per wall second (the BASELINE.md
+  scaling metric) on top of the reference's ms/batch logging
+  (solver.py:190-195)
+* optional jax.sharding mesh: batches are sharded over the 'data' axis and
+  params replicated (or TP-sharded) before stepping — XLA inserts the
+  gradient all-reduces (see parallel/).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConvTasNetConfig, TrainConfig
+from ..models.conv_tasnet import ConvTasNet
+from ..ops.loss import cal_loss
+from .checkpoint import load_checkpoint, save_checkpoint
+from .optim import Optimizer, OptState, clip_by_global_norm, set_lr
+
+
+def make_train_step(model: ConvTasNet, opt: Optimizer, max_norm: float) -> Callable:
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, state, mixture, source, lengths):
+        def loss_fn(p):
+            est, new_state = model.apply(p, state, mixture, train=True)
+            loss, *_ = cal_loss(source, est, lengths)
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads, grad_norm = clip_by_global_norm(grads, max_norm)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, new_state, loss, grad_norm
+
+    return step
+
+
+def make_eval_step(model: ConvTasNet) -> Callable:
+    @jax.jit
+    def step(params, state, mixture, source, lengths):
+        est, _ = model.apply(params, state, mixture, train=False)
+        loss, *_ = cal_loss(source, est, lengths)
+        return loss
+
+    return step
+
+
+class Solver:
+    """Epoch loop with the reference's LR-halving / early-stop state machine."""
+
+    def __init__(
+        self,
+        model: ConvTasNet,
+        train_cfg: TrainConfig,
+        tr_loader,
+        cv_loader,
+        shard_batch: Optional[Callable] = None,
+        shard_params: Optional[Callable] = None,
+        log: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.cfg = train_cfg
+        self.tr_loader = tr_loader
+        self.cv_loader = cv_loader
+        self.shard_batch = shard_batch or (lambda *xs: tuple(map(jnp.asarray, xs)))
+        self.log = log
+
+        self.opt = Optimizer(
+            kind=train_cfg.optimizer,
+            lr=train_cfg.lr,
+            momentum=train_cfg.momentum,
+            weight_decay=train_cfg.l2,
+        )
+        params, state = model.init(jax.random.key(train_cfg.seed))
+        opt_state = self.opt.init(params)
+        self.start_epoch = 0
+        self.tr_loss: List[float] = []
+        self.cv_loss: List[float] = []
+
+        if train_cfg.continue_from:
+            self.log(f"Loading checkpoint {train_cfg.continue_from}")
+            ck = load_checkpoint(
+                train_cfg.continue_from,
+                params_template=params,
+                state_template=state,
+                opt_template=opt_state,
+            )
+            params, state = ck["params"], ck["state"]
+            opt_state = ck.get("opt_state", opt_state)
+            self.start_epoch = ck["header"]["epoch"]
+            self.tr_loss = ck["header"]["tr_loss"][: self.start_epoch]
+            self.cv_loss = ck["header"]["cv_loss"][: self.start_epoch]
+
+        if shard_params is not None:
+            params, state, opt_state = shard_params(params, state, opt_state)
+        self.params, self.state, self.opt_state = params, state, opt_state
+
+        self.train_step = make_train_step(model, self.opt, train_cfg.max_norm)
+        self.eval_step = make_eval_step(model)
+
+        self.prev_val_loss = float("inf")
+        self.best_val_loss = float("inf")
+        self.halving = False
+        self.val_no_impv = 0
+        self.history: List[Dict[str, Any]] = []
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        os.makedirs(cfg.save_folder, exist_ok=True)
+        for epoch in range(self.start_epoch, cfg.epochs):
+            self.log("Training...")
+            t0 = time.time()
+            tr_avg, audio_sps = self._run_one_epoch(epoch, cross_valid=False)
+            self.log(
+                f"Train Summary | End of Epoch {epoch + 1} | "
+                f"Time {time.time() - t0:.2f}s | Train Loss {tr_avg:.3f} | "
+                f"{audio_sps:.1f} audio-s/s"
+            )
+
+            self.log("Cross validation...")
+            t0 = time.time()
+            val_loss, _ = self._run_one_epoch(epoch, cross_valid=True)
+            self.log(
+                f"Valid Summary | End of Epoch {epoch + 1} | "
+                f"Time {time.time() - t0:.2f}s | Valid Loss {val_loss:.3f}"
+            )
+
+            # LR halving / early stop (solver.py:105-123 semantics).
+            stop = False
+            if cfg.half_lr:
+                if val_loss >= self.prev_val_loss:
+                    self.val_no_impv += 1
+                    if self.val_no_impv >= 3:
+                        self.halving = True
+                    if self.val_no_impv >= 10 and cfg.early_stop:
+                        self.log("No improvement for 10 epochs, early stopping.")
+                        stop = True
+                else:
+                    self.val_no_impv = 0
+            if self.halving:
+                new_lr = float(self.opt_state.lr) / 2.0
+                self.opt_state = set_lr(self.opt_state, new_lr)
+                self.log(f"Learning rate adjusted to: {new_lr:.6f}")
+                self.halving = False
+            self.prev_val_loss = val_loss
+
+            self.tr_loss.append(tr_avg)
+            self.cv_loss.append(val_loss)
+            # Per-epoch checkpoint. Unlike the reference (which serializes
+            # mid-epoch at solver.py:84-92 and thereby resumes one
+            # uninitialized loss entry), we save after the epoch's losses
+            # are recorded so epochN.ckpt is fully self-consistent.
+            if cfg.checkpoint:
+                path = os.path.join(cfg.save_folder, f"epoch{epoch + 1}.ckpt")
+                self._save(path, epoch + 1)
+                self.log(f"Saving checkpoint model to {path}")
+            self.history.append(
+                {"epoch": epoch + 1, "tr_loss": tr_avg, "cv_loss": val_loss,
+                 "lr": float(self.opt_state.lr), "audio_sps": audio_sps}
+            )
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                path = os.path.join(cfg.save_folder, cfg.model_path)
+                self._save(path, epoch + 1)
+                self.log(f"Find better validated model, saving to {path}")
+            if stop:
+                break
+        return {
+            "tr_loss": self.tr_loss,
+            "cv_loss": self.cv_loss,
+            "best_val_loss": self.best_val_loss,
+            "history": self.history,
+        }
+
+    # ------------------------------------------------------------------
+    def _run_one_epoch(self, epoch: int, cross_valid: bool):
+        loader = self.cv_loader if cross_valid else self.tr_loader
+        total_loss = 0.0
+        total_audio_sec = 0.0
+        start = time.time()
+        i = -1
+        for i, batch in enumerate(loader):
+            mixture, lengths, source = self.shard_batch(
+                batch.mixture, batch.lengths, batch.source
+            )
+            if cross_valid:
+                loss = self.eval_step(self.params, self.state, mixture, source, lengths)
+            else:
+                (self.params, self.opt_state, self.state, loss, _gn) = self.train_step(
+                    self.params, self.opt_state, self.state, mixture, source, lengths
+                )
+            loss = float(loss)
+            total_loss += loss
+            total_audio_sec += float(np.sum(np.asarray(batch.lengths))) / self.cfg.sample_rate
+            if i % self.cfg.print_freq == 0:
+                elapsed = time.time() - start
+                self.log(
+                    f"Epoch {epoch + 1} | Iter {i + 1} | "
+                    f"Average Loss {total_loss / (i + 1):.3f} | "
+                    f"Current Loss {loss:.6f} | "
+                    f"{1000 * elapsed / (i + 1):.1f} ms/batch"
+                )
+        n = i + 1
+        if n == 0:
+            return float("nan"), 0.0
+        audio_sps = total_audio_sec / max(time.time() - start, 1e-9)
+        return total_loss / n, audio_sps
+
+    # ------------------------------------------------------------------
+    def _save(self, path: str, epoch: int) -> None:
+        save_checkpoint(
+            path,
+            self.model.cfg,
+            jax.device_get(self.params),
+            jax.device_get(self.state),
+            opt_state=jax.device_get(self.opt_state),
+            epoch=epoch,
+            tr_loss=self.tr_loss,
+            cv_loss=self.cv_loss,
+        )

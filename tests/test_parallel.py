@@ -1,0 +1,86 @@
+"""DP/TP sharding parity on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convtasnet_tpu.config import ConvTasNetConfig, TrainConfig
+from convtasnet_tpu.data.synthetic import synthetic_batch
+from convtasnet_tpu.models.conv_tasnet import ConvTasNet, forward, init_params
+from convtasnet_tpu.ops.loss import cal_loss
+from convtasnet_tpu.parallel.mesh import make_mesh, make_sharders
+from convtasnet_tpu.training.optim import Optimizer
+from convtasnet_tpu.training.solver import make_train_step
+
+TINY = dict(N=16, L=8, B=16, H=32, P=3, X=2, R=2, C=2, compute_dtype="float32")
+
+
+def _data(B=8, T=1024):
+    rng = np.random.default_rng(0)
+    return synthetic_batch(rng, B, 2, T)
+
+
+def test_mesh_shapes():
+    m = make_mesh(dp=4, tp=2)
+    assert m.shape == {"data": 4, "model": 2}
+    m = make_mesh(tp=2)  # dp auto = 4
+    assert m.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(dp=8, tp=2)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_forward_matches_single_device(dp, tp):
+    cfg = ConvTasNetConfig(**TINY)
+    params, state = init_params(jax.random.key(0), cfg)
+    mix, lens, src = _data()
+
+    ref, _ = jax.jit(lambda p, s, m: forward(p, s, cfg, m))(params, state, jnp.asarray(mix))
+
+    shard_batch, shard_params = make_sharders(dp=dp, tp=tp)
+    sp, ss, _ = shard_params(params, state, None)
+    sm, sl, _ = shard_batch(mix, lens, src)
+    got, _ = jax.jit(lambda p, s, m: forward(p, s, cfg, m))(sp, ss, sm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+def test_sharded_train_step_matches_single_device(dp, tp):
+    cfg = ConvTasNetConfig(**TINY)
+    model = ConvTasNet(cfg)
+    opt = Optimizer("adam", lr=1e-3)
+    mix, lens, src = _data()
+
+    def run(shard=None):
+        params, state = init_params(jax.random.key(1), cfg)
+        opt_state = opt.init(params)
+        if shard:
+            shard_batch, shard_params = shard
+            params, state, opt_state = shard_params(params, state, opt_state)
+            m, l, s = shard_batch(mix, lens, src)
+        else:
+            m, l, s = jnp.asarray(mix), jnp.asarray(lens), jnp.asarray(src)
+        step = make_train_step(model, opt, max_norm=5.0)
+        losses = []
+        for _ in range(3):
+            params, opt_state, state, loss, _gn = step(params, opt_state, state, m, s, l)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    ref_losses, ref_params = run()
+    got_losses, got_params = run(make_sharders(dp=dp, tp=tp))
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_params),
+        jax.tree_util.tree_leaves_with_path(got_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5,
+                                   err_msg=str(pa))
+
+
+def test_uneven_batch_falls_back_to_replication():
+    shard_batch, _ = make_sharders(dp=8, tp=1)
+    mix, lens, src = _data(B=3)
+    m, l, s = shard_batch(mix, lens, src)
+    assert m.sharding.is_fully_replicated
