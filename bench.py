@@ -37,7 +37,9 @@ def main():
     seg_sec, sr = 4.0, 8000
     T = int(seg_sec * sr)
 
-    cfg = ConvTasNetConfig(use_pallas=jax.default_backend() != "cpu")
+    # remat: recompute each repeat in backward — the 32-block backward
+    # otherwise stores ~20+ f32 [B,K,H] residual buffers and OOMs 16 GB HBM.
+    cfg = ConvTasNetConfig(remat=True, use_pallas=jax.default_backend() != "cpu")
     model = ConvTasNet(cfg)
     opt = Optimizer("adam", lr=1e-3)
     params, state = model.init(jax.random.key(0))

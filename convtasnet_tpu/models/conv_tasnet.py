@@ -149,31 +149,54 @@ def _temporal_block(
     cfg: ConvTasNetConfig,
     dilation: int,
     train: bool,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One residual block (conv_tasnet.py:212-272): 1x1 -> PReLU -> norm ->
     dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual."""
     dt = cfg.dtype
     res = x
     y = pointwise(x, bp["in_w"], dt).astype(dt)
-    y = prelu(y, bp["in_prelu"])
     new_state = {} if bstate is not None else None
-    s_in = None if bstate is None else {"mean": bstate["in_mean"], "var": bstate["in_var"]}
-    y, s_in = apply_norm(
-        cfg.norm_type, y, {"gamma": bp["in_gamma"], "beta": bp["in_beta"]}, s_in, train
-    )
-    y = depthwise_dilated(y, bp["dw_w"], dilation, cfg.causal)
-    y = prelu(y, bp["dw_prelu"])
-    s_dw = None if bstate is None else {"mean": bstate["dw_mean"], "var": bstate["dw_var"]}
-    y, s_dw = apply_norm(
-        cfg.norm_type, y, {"gamma": bp["dw_gamma"], "beta": bp["dw_beta"]}, s_dw, train
-    )
+    if axis_name is None and _use_fused_mid(cfg, bstate, y):
+        from ..ops.pallas.fused_block import fused_tcn_mid
+
+        y = fused_tcn_mid(
+            y, bp["in_prelu"], bp["in_gamma"], bp["in_beta"], bp["dw_w"],
+            bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
+            cfg.norm_type, dilation, cfg.causal,
+            jax.default_backend() == "cpu",
+        )
+    else:
+        y = prelu(y, bp["in_prelu"])
+        s_in = None if bstate is None else {"mean": bstate["in_mean"], "var": bstate["in_var"]}
+        y, s_in = apply_norm(
+            cfg.norm_type, y, {"gamma": bp["in_gamma"], "beta": bp["in_beta"]},
+            s_in, train, axis_name,
+        )
+        y = depthwise_dilated(y, bp["dw_w"], dilation, cfg.causal, axis_name)
+        y = prelu(y, bp["dw_prelu"])
+        s_dw = None if bstate is None else {"mean": bstate["dw_mean"], "var": bstate["dw_var"]}
+        y, s_dw = apply_norm(
+            cfg.norm_type, y, {"gamma": bp["dw_gamma"], "beta": bp["dw_beta"]},
+            s_dw, train, axis_name,
+        )
+        if bstate is not None:
+            new_state = {
+                "in_mean": s_in["mean"], "in_var": s_in["var"],
+                "dw_mean": s_dw["mean"], "dw_var": s_dw["var"],
+            }
     y = pointwise(y, bp["out_w"], dt).astype(dt)
-    if bstate is not None:
-        new_state = {
-            "in_mean": s_in["mean"], "in_var": s_in["var"],
-            "dw_mean": s_dw["mean"], "dw_var": s_dw["var"],
-        }
     return res + y, new_state
+
+
+def _use_fused_mid(cfg: ConvTasNetConfig, bstate, y: jnp.ndarray) -> bool:
+    """Fused Pallas mid-chain applies to stateless norms when the [K, H]
+    slab (plus f32 temporaries) fits comfortably in ~16 MB VMEM."""
+    if not cfg.use_pallas or cfg.norm_type == "BN" or bstate is not None:
+        return False
+    K, H = y.shape[1], y.shape[2]
+    slab_f32 = K * H * 4
+    return slab_f32 <= 8 * 1024 * 1024  # ~2 live f32 slabs + refs < 16 MB
 
 
 def separate(
@@ -182,8 +205,13 @@ def separate(
     cfg: ConvTasNetConfig,
     mixture_w: jnp.ndarray,
     train: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, State]:
-    """Mask estimation TCN: [M, K, N] -> ([M, K, C, N] mask, new_state)."""
+    """Mask estimation TCN: [M, K, N] -> ([M, K, C, N] mask, new_state).
+
+    axis_name: set when running inside shard_map with the frame axis K
+    sharded (context parallelism); gLN stats all-reduce and the dilated
+    convs halo-exchange over that axis."""
     sp = params["separator"]
     dt = cfg.dtype
     M, K, N = mixture_w.shape
@@ -203,7 +231,7 @@ def separate(
         for xi in range(cfg.X):
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
-            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train)
+            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train, axis_name)
             if nbs is not None:
                 for k, v in nbs.items():
                     new_bs_r.setdefault(k, []).append(v)
@@ -252,10 +280,11 @@ def forward(
     cfg: ConvTasNetConfig,
     mixture: jnp.ndarray,
     train: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, State]:
     """Full model: [M, T] -> ([M, C, T] float32 estimates, new_state)."""
     mixture_w = encode(params, cfg, mixture)
-    est_mask, new_state = separate(params, state, cfg, mixture_w, train)
+    est_mask, new_state = separate(params, state, cfg, mixture_w, train, axis_name)
     est_source = decode(params, cfg, mixture_w, est_mask)
     T, T_conv = mixture.shape[-1], est_source.shape[-1]
     est_source = jnp.pad(est_source, ((0, 0), (0, 0), (0, T - T_conv)))

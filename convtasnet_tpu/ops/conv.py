@@ -28,6 +28,7 @@ def depthwise_dilated(
     w: jnp.ndarray,
     dilation: int,
     causal: bool,
+    axis_name=None,
 ) -> jnp.ndarray:
     """Depthwise dilated conv over time. x: [M, K, ch], w: [P, ch] -> [M, K, ch].
 
@@ -37,7 +38,14 @@ def depthwise_dilated(
     (P-1)*d, reproduced here directly.
     Output length equals input length for both (odd P in the non-causal case,
     as in the reference where P defaults to 3).
+
+    axis_name: when running context-parallel inside shard_map with the frame
+    axis sharded, boundary frames come from the ring neighbors via a
+    ppermute halo exchange instead of zero padding (zeros only at the true
+    sequence edges — ppermute zero-fills unpaired shards).
     """
+    import jax
+
     P = w.shape[0]
     span = (P - 1) * dilation
     if causal:
@@ -45,7 +53,28 @@ def depthwise_dilated(
     else:
         left, right = span // 2, span - span // 2
     K = x.shape[1]
-    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    if axis_name is None:
+        xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    else:
+        n_shards = jax.lax.psum(1, axis_name)
+        parts = []
+        if left > 0:
+            # My last `left` frames -> right neighbor's left halo.
+            send = x[:, K - left :, :] if left <= K else jnp.pad(
+                x, ((0, 0), (left - K, 0), (0, 0)))
+            lhalo = jax.lax.ppermute(
+                send, axis_name, [(i, i + 1) for i in range(n_shards - 1)]
+            )
+            parts.append(lhalo)
+        parts.append(x)
+        if right > 0:
+            send = x[:, :right, :] if right <= K else jnp.pad(
+                x, ((0, 0), (0, right - K), (0, 0)))
+            rhalo = jax.lax.ppermute(
+                send, axis_name, [(i + 1, i) for i in range(n_shards - 1)]
+            )
+            parts.append(rhalo)
+        xp = jnp.concatenate(parts, axis=1)
     out = None
     for p in range(P):
         tap = xp[:, p * dilation : p * dilation + K, :] * w[p].astype(x.dtype)

@@ -35,16 +35,32 @@ def channelwise_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray
     return y.astype(x.dtype)
 
 
-def global_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray) -> jnp.ndarray:
+def global_layer_norm(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
     """gLN over channels and time, per batch element. x: [M, K, ch].
 
-    Under sharded (data/model/context-parallel) execution this reduction is
-    expressed with plain jnp.mean, so pjit/shard_map lowers it to psum over
-    whichever mesh axes shard K or ch.
+    Under pjit the plain jnp.mean lowers to a psum over whichever mesh axes
+    shard K or ch. Inside shard_map (context parallelism) reductions are
+    local, so pass axis_name to all-reduce the statistics explicitly over
+    the sharded frame axis.
     """
+    import jax
+
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(-1, -2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(-1, -2), keepdims=True)
+    if axis_name is None:
+        mean = jnp.mean(xf, axis=(-1, -2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(-1, -2), keepdims=True)
+    else:
+        n_local = x.shape[-1] * x.shape[-2]
+        n = n_local * jax.lax.psum(1, axis_name)
+        mean = jax.lax.psum(jnp.sum(xf, axis=(-1, -2), keepdims=True), axis_name) / n
+        var = jax.lax.psum(
+            jnp.sum(jnp.square(xf - mean), axis=(-1, -2), keepdims=True), axis_name
+        ) / n
     y = gamma * (xf - mean) * jnp.power(var + EPS, -0.5) + beta
     return y.astype(x.dtype)
 
@@ -83,13 +99,16 @@ def apply_norm(
     params: dict,
     state: Optional[dict],
     train: bool,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
     """Dispatch like the reference's chose_norm (conv_tasnet.py:292-303)."""
     if norm_type == "cLN":
         return channelwise_layer_norm(x, params["gamma"], params["beta"]), state
     if norm_type == "gLN":
-        return global_layer_norm(x, params["gamma"], params["beta"]), state
+        return global_layer_norm(x, params["gamma"], params["beta"], axis_name), state
     if norm_type == "BN":
+        if axis_name is not None:
+            raise NotImplementedError("BN under context parallelism")
         y, rm, rv = batch_norm(
             x, params["gamma"], params["beta"], state["mean"], state["var"], train
         )

@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""WSJ0-2mix recipe driver — the reference's egs/wsj0/run.sh stages 0-4
+(run.sh:77-175) as a config-driven Python launcher.
+
+Stages:
+  0: corpus preparation (external: sphere->wav + MERL mixture scripts; this
+     framework consumes the prepared wav tree, see docs/data.md)
+  1: manifest generation (preprocess)
+  2: training
+  3: evaluation (SI-SNRi, optional SDRi)
+  4: separation (write per-speaker wavs)
+
+Flag system: every CLI flag of the underlying tools is forwardable, plus
+`--config file.json` merges a JSON dict of overrides (the Kaldi
+parse_options.sh --config analogue, utils/parse_options.sh:33-41). The
+experiment directory encodes the full hyperparameter set like
+run.sh:102-106.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, REPO_ROOT)
+
+
+def build_parser():
+    p = argparse.ArgumentParser("wsj0-2mix recipe")
+    p.add_argument("--stage", type=int, default=1)
+    p.add_argument("--stop_stage", type=int, default=4)
+    p.add_argument("--config", type=str, default=None,
+                   help="JSON file of overrides for any flag below")
+    # Data
+    p.add_argument("--wav_root", type=str, default="data/wsj0-mix/2speakers/wav8k/min",
+                   help="prepared wav tree with tr/cv/tt x mix/s1/s2")
+    p.add_argument("--json_root", type=str, default="data/json")
+    p.add_argument("--sample_rate", type=int, default=8000)
+    # Model (paper config defaults, run.sh:28-41)
+    for flag, default in [("N", 256), ("L", 20), ("B", 256), ("H", 512),
+                          ("P", 3), ("X", 8), ("R", 4), ("C", 2)]:
+        p.add_argument(f"--{flag}", type=int, default=default)
+    p.add_argument("--norm_type", default="gLN")
+    p.add_argument("--causal", type=int, default=0)
+    p.add_argument("--mask_nonlinear", default="relu")
+    # Training (run.sh:42-56)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--half_lr", type=int, default=1)
+    p.add_argument("--early_stop", type=int, default=1)
+    p.add_argument("--max_norm", type=float, default=5.0)
+    p.add_argument("--shuffle", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--optimizer", default="adam")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--momentum", type=float, default=0.0)
+    p.add_argument("--l2", type=float, default=0.0)
+    p.add_argument("--segment", type=float, default=4.0)
+    p.add_argument("--cv_maxlen", type=float, default=8.0)
+    p.add_argument("--checkpoint", type=int, default=1)
+    p.add_argument("--continue_from", default="")
+    p.add_argument("--print_freq", type=int, default=10)
+    # TPU-native
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--remat", type=int, default=1)
+    p.add_argument("--use_pallas", type=int, default=1)
+    p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--tp", type=int, default=1)
+    # Eval / separate
+    p.add_argument("--cal_sdr", type=int, default=1)
+    p.add_argument("--exp_root", default="exp")
+    return p
+
+
+def exp_dir(a) -> str:
+    """Hyperparameter-encoding experiment dir (run.sh:102-106 style)."""
+    name = (
+        f"train_r{a.sample_rate}_N{a.N}_L{a.L}_B{a.B}_H{a.H}_P{a.P}_X{a.X}"
+        f"_R{a.R}_C{a.C}_{a.norm_type}_causal{a.causal}_{a.mask_nonlinear}"
+        f"_epoch{a.epochs}_{a.optimizer}_lr{a.lr}_l2{a.l2}_bs{a.batch_size}"
+    )
+    return os.path.join(a.exp_root, name)
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.config:
+        with open(args.config) as f:
+            overrides = json.load(f)
+        parser.set_defaults(**overrides)
+        args = parser.parse_args(argv)
+
+    save = exp_dir(args)
+    os.makedirs(save, exist_ok=True)
+    print(f"exp dir: {save}")
+
+    if args.stage <= 0 <= args.stop_stage:
+        print("Stage 0: corpus preparation is external — see docs/data.md "
+              "for sphere->wav conversion and MERL mixture generation.")
+
+    if args.stage <= 1 <= args.stop_stage:
+        print("Stage 1: generating manifests")
+        from convtasnet_tpu.cli.preprocess import main as pp
+        pp(["--in-dir", args.wav_root, "--out-dir", args.json_root,
+            "--sample-rate", str(args.sample_rate),
+            "--num-speakers", str(args.C)])
+
+    if args.stage <= 2 <= args.stop_stage:
+        print("Stage 2: training")
+        from convtasnet_tpu.cli.train import main as tr
+        tr([
+            "--train_dir", os.path.join(args.json_root, "tr"),
+            "--valid_dir", os.path.join(args.json_root, "cv"),
+            "--sample_rate", str(args.sample_rate),
+            "--segment", str(args.segment), "--cv_maxlen", str(args.cv_maxlen),
+            "--N", str(args.N), "--L", str(args.L), "--B", str(args.B),
+            "--H", str(args.H), "--P", str(args.P), "--X", str(args.X),
+            "--R", str(args.R), "--C", str(args.C),
+            "--norm_type", args.norm_type, "--causal", str(args.causal),
+            "--mask_nonlinear", args.mask_nonlinear,
+            "--epochs", str(args.epochs), "--half_lr", str(args.half_lr),
+            "--early_stop", str(args.early_stop), "--max_norm", str(args.max_norm),
+            "--shuffle", str(args.shuffle), "--batch_size", str(args.batch_size),
+            "--num_workers", str(args.num_workers),
+            "--optimizer", args.optimizer, "--lr", str(args.lr),
+            "--momentum", str(args.momentum), "--l2", str(args.l2),
+            "--save_folder", save, "--checkpoint", str(args.checkpoint),
+            "--continue_from", args.continue_from,
+            "--print_freq", str(args.print_freq),
+            "--compute_dtype", args.compute_dtype, "--remat", str(args.remat),
+            "--use_pallas", str(args.use_pallas),
+            "--dp", str(args.dp), "--tp", str(args.tp),
+        ])
+
+    if args.stage <= 3 <= args.stop_stage:
+        print("Stage 3: evaluation")
+        from convtasnet_tpu.cli.evaluate import main as ev
+        ev([
+            "--model_path", os.path.join(save, "final.ckpt"),
+            "--data_dir", os.path.join(args.json_root, "tt"),
+            "--cal_sdr", str(args.cal_sdr),
+            "--sample_rate", str(args.sample_rate),
+        ])
+
+    if args.stage <= 4 <= args.stop_stage:
+        print("Stage 4: separation")
+        from convtasnet_tpu.cli.separate import main as sp
+        sp([
+            "--model_path", os.path.join(save, "final.ckpt"),
+            "--mix_json", os.path.join(args.json_root, "tt", "mix.json"),
+            "--out_dir", os.path.join(save, "separate"),
+            "--sample_rate", str(args.sample_rate),
+        ])
+
+
+if __name__ == "__main__":
+    main()
