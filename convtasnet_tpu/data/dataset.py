@@ -121,6 +121,35 @@ class AudioDataset:
     def __len__(self):
         return len(self.batches)
 
+    def _decode_utts(self, idxs):
+        """Decode all files for the given utterances -> {(speaker, j): [T]}.
+
+        Uses the native C++ thread-pool decoder when available; any file
+        whose on-disk rate differs from the target is re-read through the
+        Python codec (which resamples)."""
+        sr = self.sample_rate
+        jobs = [(s, j) for j in idxs for s in self.speakers]
+        out = {}
+        native_ok = False
+        if not getattr(self, "disable_native", False):
+            from . import native_loader
+
+            if native_loader.available():
+                paths = [self.infos[s][j][0] for s, j in jobs]
+                max_len = max(int(self.infos[s][j][1]) for s, j in jobs)
+                try:
+                    buf, lens, rates = native_loader.decode_batch(paths, max_len)
+                    for k, (s, j) in enumerate(jobs):
+                        if int(rates[k]) == sr:
+                            out[(s, j)] = buf[k, : int(lens[k])]
+                    native_ok = True
+                except RuntimeError:
+                    out = {}
+        for s, j in jobs:
+            if (s, j) not in out:
+                out[(s, j)], _ = read_wav(self.infos[s][j][0], sample_rate=sr)
+        return out
+
     def load_batch(self, i: int) -> Batch:
         """Decode one planned minibatch into padded numpy arrays."""
         idxs = self.batches[i]["idxs"]
@@ -128,14 +157,14 @@ class AudioDataset:
         C = self.num_speakers
         mixtures: List[np.ndarray] = []
         sources: List[np.ndarray] = []
+        decoded = self._decode_utts(idxs)
         for j in idxs:
             mix_path, n = self.infos["mix"][j]
             for s in self.speakers[1:]:
                 assert int(self.infos[s][j][1]) == int(n), "length mismatch in manifests"
-            mix, _ = read_wav(mix_path, sample_rate=sr)
+            mix = decoded[("mix", j)]
             srcs = np.stack(
-                [read_wav(self.infos[s][j][0], sample_rate=sr)[0] for s in self.speakers[1:]],
-                axis=1,
+                [decoded[(s, j)] for s in self.speakers[1:]], axis=1
             )  # [T, C]
             T = mix.shape[0]
             seg = self.segment_len

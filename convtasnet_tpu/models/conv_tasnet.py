@@ -150,14 +150,19 @@ def _temporal_block(
     dilation: int,
     train: bool,
     axis_name: Optional[str] = None,
+    fused_valid_k: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One residual block (conv_tasnet.py:212-272): 1x1 -> PReLU -> norm ->
-    dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual."""
+    dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual.
+
+    fused_valid_k: when set, x is frame-padded to a 32-aligned K and the
+    fused Pallas mid-chain runs with exact statistics over the first
+    fused_valid_k frames (pad hoisted out of the block loop)."""
     dt = cfg.dtype
     res = x
     y = pointwise(x, bp["in_w"], dt).astype(dt)
     new_state = {} if bstate is not None else None
-    if axis_name is None and _use_fused_mid(cfg, bstate, y):
+    if fused_valid_k is not None:
         from ..ops.pallas.fused_block import fused_tcn_mid
 
         y = fused_tcn_mid(
@@ -165,6 +170,7 @@ def _temporal_block(
             bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
             cfg.norm_type, dilation, cfg.causal,
             jax.default_backend() == "cpu",
+            fused_valid_k if fused_valid_k != y.shape[1] else None,
         )
     else:
         y = prelu(y, bp["in_prelu"])
@@ -189,14 +195,19 @@ def _temporal_block(
     return res + y, new_state
 
 
-def _use_fused_mid(cfg: ConvTasNetConfig, bstate, y: jnp.ndarray) -> bool:
+def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
+                   train: bool = False) -> bool:
     """Fused Pallas mid-chain applies to stateless norms when the [K, H]
-    slab (plus f32 temporaries) fits comfortably in ~16 MB VMEM."""
-    if not cfg.use_pallas or cfg.norm_type == "BN" or bstate is not None:
+    slabs fit the kernel's VMEM budget (2 double-buffered + 1 bordered
+    activation-dtype slab). Training currently stays on the XLA path: the
+    kernel's custom-vjp backward re-runs the XLA forward for residuals,
+    which costs more than it saves until a fused backward kernel lands
+    (measured: fwd 8.35 vs 8.43 ms pallas/XLA; train step 41.7 vs 38.7)."""
+    if not cfg.use_pallas or train or cfg.norm_type == "BN" or bstate is not None:
         return False
-    K, H = y.shape[1], y.shape[2]
-    slab_f32 = K * H * 4
-    return slab_f32 <= 8 * 1024 * 1024  # ~2 live f32 slabs + refs < 16 MB
+    K = x.shape[1]
+    slab = K * cfg.H * cfg.dtype.itemsize
+    return 3 * slab <= 12 * 1024 * 1024
 
 
 def separate(
@@ -224,6 +235,16 @@ def separate(
     block_params = sp["blocks"]
     block_state = state.get("blocks") if has_bn else None
 
+    # Fused Pallas mid-chain: pad the frame axis to 32 alignment ONCE here
+    # (not per block — each per-block pad/slice would cost a full HBM copy)
+    # and run every block's kernel with exact stats over the true K frames.
+    fused_valid_k = None
+    if axis_name is None and _use_fused_mid(cfg, block_state, x, train):
+        fused_valid_k = K
+        K_pad = -(-K // 128) * 128
+        if K_pad != K:
+            x = jnp.pad(x, ((0, 0), (0, K_pad - K), (0, 0)))
+
     def repeat_body(carry, xs):
         x = carry
         bp_r, bs_r = xs
@@ -231,7 +252,8 @@ def separate(
         for xi in range(cfg.X):
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
-            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train, axis_name)
+            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train, axis_name,
+                                     fused_valid_k)
             if nbs is not None:
                 for k, v in nbs.items():
                     new_bs_r.setdefault(k, []).append(v)
@@ -246,6 +268,8 @@ def separate(
     else:
         x, _ = jax.lax.scan(body, x, (block_params, None))
         new_state = state
+    if fused_valid_k is not None and x.shape[1] != K:
+        x = x[:, :K, :]
 
     score = pointwise(x, sp["mask"]["w"], dt)  # [M, K, C*N] f32
     score = score.reshape(M, K, cfg.C, N)

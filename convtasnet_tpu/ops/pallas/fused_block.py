@@ -51,19 +51,52 @@ def _row_norm_f32(a, gamma, beta):
 
 
 def _mid_kernel(y_hbm, a1_ref, g1_ref, b1_ref, w_ref, a2_ref, g2_ref, b2_ref,
-                out_hbm, yslab, bslab, sems, *,
-                norm_type, dilation, causal, P, K, H, TK):
+                out_hbm, slabs, bslab, in_sems, out_sems, *,
+                norm_type, dilation, causal, P, K, K_pad, H, TK):
+    """Per-grid-step body with cross-step double-buffered DMA.
+
+    slabs[2] hold the input y and later (in place, once y is dead after the
+    normalize-write) the conv+PReLU output e and the final z — the input
+    slab doubles as the output slab, so two slabs pipeline M grid steps.
+    Statistics are single-pass f32 sum/sumsq (E[x^2] - m^2; post-PReLU
+    activations are near-centered so cancellation is benign).
+    """
     m = pl.program_id(0)
+    M = pl.num_programs(0)
+    slot = m % 2
     span = (P - 1) * dilation
     left = span if causal else span // 2
-    n = K * H
-    # Static tile table (ragged tail) — Mosaic handles unaligned STATIC
-    # sublane offsets but cannot prove alignment of dynamic ones, so the
-    # tile loop is unrolled in Python with literal slice starts.
-    tiles = [(t0, min(TK, K - t0)) for t0 in range(0, K, TK)]
+    n = K * H  # true element count: pad rows are zero and sum to nothing
+    # Static tile table — all tiles are full TK and 128-aligned because the
+    # frame axis is padded to a TK multiple and pad rows are exact zeros
+    # (prelu(0) = 0 contributes nothing to the statistics; the pad rows of
+    # the output are re-zeroed before the out-DMA). Static unrolled slices
+    # keep Mosaic happy about sublane alignment.
+    tiles = [(t0, TK) for t0 in range(0, K_pad, TK)]
+    yslab = slabs.at[slot]
 
-    cp_in = pltpu.make_async_copy(y_hbm.at[m], yslab, sems.at[0])
-    cp_in.start()
+    def in_dma(i):
+        return pltpu.make_async_copy(y_hbm.at[i], slabs.at[i % 2], in_sems.at[i % 2])
+
+    def out_dma(i):
+        return pltpu.make_async_copy(slabs.at[i % 2], out_hbm.at[i], out_sems.at[i % 2])
+
+    # Pipeline: step m waits its input (started by step m-1, or here at m=0),
+    # prefetches input m+1 after draining the out-DMA that step m-1 left on
+    # that slab, computes in place, then kicks its own out-DMA.
+    @pl.when(m == 0)
+    def _():
+        in_dma(0).start()
+
+    @pl.when((m >= 1) & (m + 1 < M))
+    def _():
+        out_dma(m - 1).wait()
+
+    @pl.when(m + 1 < M)
+    def _():
+        in_dma(m + 1).start()
+
+    in_dma(m).wait()
 
     a1 = a1_ref[0]
     a2 = a2_ref[0]
@@ -85,19 +118,15 @@ def _mid_kernel(y_hbm, a1_ref, g1_ref, b1_ref, w_ref, a2_ref, g2_ref, b2_ref,
             c = tap if c is None else c + tap
         return c
 
-    cp_in.wait()
-
     if norm_type == "gLN":
-        # Two-pass f32 stats of prelu(y) over (K, H).
         s = jnp.float32(0.0)
+        ss = jnp.float32(0.0)
         for t0, tk in tiles:
-            s = s + jnp.sum(a_tile(t0, tk))
+            a = a_tile(t0, tk)
+            s = s + jnp.sum(a)
+            ss = ss + jnp.sum(a * a)
         mean1 = s / n
-        v = jnp.float32(0.0)
-        for t0, tk in tiles:
-            d = a_tile(t0, tk) - mean1
-            v = v + jnp.sum(d * d)
-        inv1 = jax.lax.rsqrt(v / n + EPS)
+        inv1 = jax.lax.rsqrt(jnp.maximum(ss / n - mean1 * mean1, 0.0) + EPS)
         for t0, tk in tiles:
             b = g1[None, :] * ((a_tile(t0, tk) - mean1) * inv1) + b1[None, :]
             bslab[span + t0 : span + t0 + tk, :] = b.astype(bslab.dtype)
@@ -106,23 +135,34 @@ def _mid_kernel(y_hbm, a1_ref, g1_ref, b1_ref, w_ref, a2_ref, g2_ref, b2_ref,
             b = _row_norm_f32(a_tile(t0, tk), g1, b1)
             bslab[span + t0 : span + t0 + tk, :] = b.astype(bslab.dtype)
 
-    # Zero halo borders once b is in place.
+    # Zero the halo borders AND the pad-row region (cLN/gLN of a zero row
+    # is nonzero garbage there) so conv taps past the true K read zeros.
     if span > 0:
         bslab[0:span, :] = jnp.zeros((span, H), bslab.dtype)
-        bslab[span + K : 2 * span + K, :] = jnp.zeros((span, H), bslab.dtype)
+    bslab[span + K :, :] = jnp.zeros(
+        (bslab.shape[0] - span - K, H), bslab.dtype
+    )
 
+    # Conv + PReLU once per tile; e overwrites the (now dead) y slab.
+    # Pad rows bordering K pick up left taps of REAL rows, so the tile
+    # straddling K masks them out of the statistics (static predicate).
     if norm_type == "gLN":
         s = jnp.float32(0.0)
-        for t0, tk in tiles:
-            s = s + jnp.sum(_prelu(conv_tile(t0, tk), a2))
-        mean2 = s / n
-        v = jnp.float32(0.0)
-        for t0, tk in tiles:
-            d = _prelu(conv_tile(t0, tk), a2) - mean2
-            v = v + jnp.sum(d * d)
-        inv2 = jax.lax.rsqrt(v / n + EPS)
+        ss = jnp.float32(0.0)
         for t0, tk in tiles:
             e = _prelu(conv_tile(t0, tk), a2)
+            if t0 + tk > K:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (tk, 1), 0)
+                em = jnp.where(rows < K - t0, e, 0.0)
+            else:
+                em = e
+            s = s + jnp.sum(em)
+            ss = ss + jnp.sum(em * em)
+            yslab[t0 : t0 + tk, :] = e.astype(yslab.dtype)
+        mean2 = s / n
+        inv2 = jax.lax.rsqrt(jnp.maximum(ss / n - mean2 * mean2, 0.0) + EPS)
+        for t0, tk in tiles:
+            e = yslab[t0 : t0 + tk, :].astype(jnp.float32)
             z = g2[None, :] * ((e - mean2) * inv2) + b2[None, :]
             yslab[t0 : t0 + tk, :] = z.astype(yslab.dtype)
     else:
@@ -130,25 +170,44 @@ def _mid_kernel(y_hbm, a1_ref, g1_ref, b1_ref, w_ref, a2_ref, g2_ref, b2_ref,
             z = _row_norm_f32(_prelu(conv_tile(t0, tk), a2), g2, b2)
             yslab[t0 : t0 + tk, :] = z.astype(yslab.dtype)
 
-    cp_out = pltpu.make_async_copy(yslab, out_hbm.at[m], sems.at[1])
-    cp_out.start()
-    cp_out.wait()
+    # Zero the alignment pad rows so downstream consumers (and their
+    # gradients) see exact zeros rather than stale VMEM bits.
+    if K_pad > K:
+        yslab[K:K_pad, :] = jnp.zeros((K_pad - K, H), yslab.dtype)
+
+    out_dma(m).start()
+
+    @pl.when(m == M - 1)
+    def _():
+        out_dma(m).wait()
+
+    @pl.when((m == M - 1) & (M >= 2))
+    def _():
+        out_dma(m - 1).wait()
 
 
 def _mid_pallas(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
-                norm_type, dilation, causal, interpret):
-    M, K, H = y.shape
+                norm_type, dilation, causal, interpret, valid_k=None):
+    M, K_in, H = y.shape
     P = w.shape[0]
     span = (P - 1) * dilation
-    TK = min(256, K)
-    # DMA slices must be sublane-aligned: pad the frame axis to 32 rows.
-    # The kernel's static tile table only touches the true K rows (gLN
-    # statistics stay exact); pad rows carry junk that is sliced off below.
-    K_pad = -(-K // 32) * 32
-    if K_pad != K:
-        y = jnp.pad(y, ((0, 0), (0, K_pad - K), (0, 0)))
+    # DMA slices must be sublane-aligned: the frame axis is padded to 32
+    # rows. With valid_k the caller passes an already-padded array (pad
+    # hoisted out of the per-block loop); otherwise we pad/slice here. The
+    # kernel's static tile table only touches the true K rows (gLN
+    # statistics stay exact) and zero-fills the pad rows on output.
+    if valid_k is not None:
+        K = valid_k
+        K_pad = K_in
+        assert K_pad % 128 == 0 or K_pad == K, (K, K_pad)
+    else:
+        K = K_in
+        K_pad = -(-K // 128) * 128
+        if K_pad != K:
+            y = jnp.pad(y, ((0, 0), (0, K_pad - K), (0, 0)))
+    TK = min(128, K_pad)
     kernel = partial(_mid_kernel, norm_type=norm_type, dilation=dilation,
-                     causal=causal, P=P, K=K, H=H, TK=TK)
+                     causal=causal, P=P, K=K, K_pad=K_pad, H=H, TK=TK)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
@@ -161,10 +220,14 @@ def _mid_pallas(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((M, K_pad, H), y.dtype),
         scratch_shapes=[
-            pltpu.VMEM((K_pad, H), y.dtype),         # y / z slab
-            pltpu.VMEM((K + 2 * span, H), y.dtype),  # bordered conv slab
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, K_pad, H), y.dtype),      # double-buffered y/e/z slabs
+            pltpu.VMEM((K_pad + 2 * span, H), y.dtype),  # bordered conv slab
+            pltpu.SemaphoreType.DMA((2,)),           # in-DMA sems
+            pltpu.SemaphoreType.DMA((2,)),           # out-DMA sems
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         y,
@@ -173,6 +236,8 @@ def _mid_pallas(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
         jnp.asarray(alpha2, jnp.float32).reshape(1),
         gamma2, beta2,
     )
+    if valid_k is not None:
+        return out  # stays padded; caller slices once at the end
     return out[:, :K, :] if K_pad != K else out
 
 
@@ -195,30 +260,42 @@ def mid_reference(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
     return norm(e, gamma2, beta2)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def fused_tcn_mid(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
-                  norm_type="gLN", dilation=1, causal=False, interpret=False):
-    """Fused PReLU->norm->dwconv->PReLU->norm. y: [M, K, H] -> [M, K, H]."""
+                  norm_type="gLN", dilation=1, causal=False, interpret=False,
+                  valid_k=None):
+    """Fused PReLU->norm->dwconv->PReLU->norm. y: [M, K, H] -> [M, K, H].
+
+    With valid_k set, y is [M, K_pad, H] (K_pad % 32 == 0) and only the
+    first valid_k frames are real; pad rows are zero in and out."""
     return _mid_pallas(y, alpha1, gamma1, beta1, w, alpha2, gamma2, beta2,
-                       norm_type, dilation, causal, interpret)
+                       norm_type, dilation, causal, interpret, valid_k)
 
 
 def _fwd(y, a1, g1, b1, w, a2, g2, b2, norm_type="gLN", dilation=1,
-         causal=False, interpret=False):
+         causal=False, interpret=False, valid_k=None):
     out = _mid_pallas(y, a1, g1, b1, w, a2, g2, b2,
-                      norm_type, dilation, causal, interpret)
+                      norm_type, dilation, causal, interpret, valid_k)
     return out, (y, a1, g1, b1, w, a2, g2, b2)
 
 
-def _bwd(norm_type, dilation, causal, interpret, res, dz):
+def _bwd(norm_type, dilation, causal, interpret, valid_k, res, dz):
     y, a1, g1, b1, w, a2, g2, b2 = res
+    if valid_k is not None:
+        K_pad = y.shape[1]
+        y = y[:, :valid_k, :]
+        dz = dz[:, :valid_k, :]
 
     def f(y, a1, g1, b1, w, a2, g2, b2):
         return mid_reference(y, a1, g1, b1, w, a2, g2, b2,
                              norm_type, dilation, causal)
 
     _, vjp = jax.vjp(f, y, a1, g1, b1, w, a2, g2, b2)
-    return vjp(dz)
+    grads = vjp(dz)
+    if valid_k is not None:
+        dy = jnp.pad(grads[0], ((0, 0), (0, K_pad - valid_k), (0, 0)))
+        grads = (dy,) + tuple(grads[1:])
+    return grads
 
 
 fused_tcn_mid.defvjp(_fwd, _bwd)

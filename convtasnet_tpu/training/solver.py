@@ -73,14 +73,20 @@ class Solver:
         cv_loader,
         shard_batch: Optional[Callable] = None,
         shard_params: Optional[Callable] = None,
-        log: Callable[[str], None] = print,
+        log: Optional[Callable[[str], None]] = None,
+        metric_logger=None,
     ):
         self.model = model
         self.cfg = train_cfg
         self.tr_loader = tr_loader
         self.cv_loader = cv_loader
         self.shard_batch = shard_batch or (lambda *xs: tuple(map(jnp.asarray, xs)))
-        self.log = log
+        if metric_logger is None and log is None:
+            from ..utils.observability import MetricLogger
+
+            metric_logger = MetricLogger(train_cfg.save_folder)
+        self.metric_logger = metric_logger
+        self.log = log or metric_logger.log
 
         self.opt = Optimizer(
             kind=train_cfg.optimizer,
@@ -176,6 +182,8 @@ class Solver:
                 {"epoch": epoch + 1, "tr_loss": tr_avg, "cv_loss": val_loss,
                  "lr": float(self.opt_state.lr), "audio_sps": audio_sps}
             )
+            if self.metric_logger is not None:
+                self.metric_logger.metrics(**self.history[-1])
             if val_loss < self.best_val_loss:
                 self.best_val_loss = val_loss
                 path = os.path.join(cfg.save_folder, cfg.model_path)

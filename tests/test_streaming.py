@@ -1,0 +1,76 @@
+"""Streaming inference parity: chunked == offline for the causal model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convtasnet_tpu.config import ConvTasNetConfig
+from convtasnet_tpu.models.conv_tasnet import forward, init_params
+from convtasnet_tpu.models.streaming import (
+    StreamingSeparator,
+    init_stream_state,
+    stream_step,
+)
+
+CAUSAL = dict(N=8, L=4, B=8, H=16, P=3, X=3, R=2, C=2,
+              norm_type="cLN", causal=True, compute_dtype="float32")
+
+
+def test_streaming_matches_offline(rng):
+    cfg = ConvTasNetConfig(**CAUSAL)
+    params, state = init_params(jax.random.key(0), cfg)
+    T = 256
+    x = rng.standard_normal((1, T)).astype(np.float32)
+    offline, _ = forward(params, state, cfg, jnp.asarray(x))
+
+    sep = StreamingSeparator(cfg, params, batch=1)
+    outs = []
+    chunk = 64
+    for i in range(0, T, chunk):
+        outs.append(np.asarray(sep.push(jnp.asarray(x[:, i : i + chunk]))))
+    outs.append(np.asarray(sep.flush()))
+    streamed = np.concatenate(outs, axis=-1)
+
+    # Offline output is OLA length (T_conv) padded with zeros to T.
+    T_conv = (cfg.num_frames(T) - 1) * cfg.stride + cfg.L
+    assert streamed.shape[-1] == T_conv
+    np.testing.assert_allclose(
+        streamed, np.asarray(offline)[..., :T_conv], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_streaming_different_chunk_sizes_agree(rng):
+    cfg = ConvTasNetConfig(**CAUSAL)
+    params, _ = init_params(jax.random.key(1), cfg)
+    T = 192
+    x = rng.standard_normal((2, T)).astype(np.float32)
+
+    def run(chunk):
+        sep = StreamingSeparator(cfg, params, batch=2)
+        outs = [np.asarray(sep.push(jnp.asarray(x[:, i : i + chunk])))
+                for i in range(0, T, chunk)]
+        outs.append(np.asarray(sep.flush()))
+        return np.concatenate(outs, axis=-1)
+
+    np.testing.assert_allclose(run(32), run(96), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_rejects_noncausal():
+    cfg = ConvTasNetConfig(**{**CAUSAL, "causal": False})
+    with pytest.raises(ValueError, match="causal"):
+        init_stream_state(cfg)
+
+
+def test_streaming_rejects_gln():
+    cfg = ConvTasNetConfig(**{**CAUSAL, "norm_type": "gLN"})
+    with pytest.raises(ValueError, match="cLN"):
+        init_stream_state(cfg)
+
+
+def test_streaming_rejects_misaligned_chunk(rng):
+    cfg = ConvTasNetConfig(**CAUSAL)
+    params, _ = init_params(jax.random.key(2), cfg)
+    st = init_stream_state(cfg)
+    with pytest.raises(ValueError, match="multiple of stride"):
+        stream_step(params, st, cfg, jnp.zeros((1, 33)), first=True)
