@@ -1,0 +1,58 @@
+"""Multi-host initialization and batch sharding across processes.
+
+The reference is single-process (nn.DataParallel, train.py:121). Here
+multi-host runs use jax.distributed: every host runs the same program, the
+mesh spans all hosts' devices, and each host feeds only its slice of the
+global batch (jax.make_array_from_process_local_data assembles the global
+sharded array). Collectives ride ICI within a slice and DCN across slices,
+chosen by XLA from the mesh layout.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with env-var fallbacks.
+
+    On TPU pods with standard env (TPU_WORKER_HOSTNAMES etc.) argumentless
+    initialize() autodetects; args/env override for manual launches
+    (COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID)."""
+    kwargs = {}
+    coordinator_address = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is None and "NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is None and "PROCESS_ID" in os.environ:
+        process_id = int(os.environ["PROCESS_ID"])
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
+def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray,
+                            spec: P = P("data")) -> jax.Array:
+    """Assemble a globally-sharded array from this process's local shard.
+
+    Each host loads batch_size_global / num_hosts items; the returned array
+    is addressable-shard-local but logically global, ready for the jitted
+    step."""
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

@@ -1,0 +1,84 @@
+import os
+
+import numpy as np
+import pytest
+
+from convtasnet_tpu.data.mixtures import (
+    active_speech_level,
+    create_mixtures,
+    mix_pair,
+    random_pair_list,
+)
+from convtasnet_tpu.data.wavio import read_wav, write_wav
+
+
+def test_active_level_ignores_silence(rng):
+    speech = rng.standard_normal(4000).astype(np.float32) * 0.2
+    padded = np.concatenate([np.zeros(4000, np.float32), speech])
+    # Active level of speech+silence ~ level of speech alone, NOT halved rms.
+    lvl_speech = active_speech_level(speech)
+    lvl_padded = active_speech_level(padded)
+    assert abs(lvl_padded - lvl_speech) / lvl_speech < 0.1
+    assert np.sqrt((padded**2).mean()) < 0.8 * lvl_padded
+
+
+def test_mix_pair_snr(rng):
+    a = rng.standard_normal(8000).astype(np.float32) * 0.1
+    b = rng.standard_normal(8000).astype(np.float32) * 0.5
+    mix, scaled, gain = mix_pair([a, b], [0.0, 5.0], mode="min")
+    # After scaling, source 1 should sit 5 dB below source 0 in active level.
+    la = active_speech_level(scaled[0])
+    lb = active_speech_level(scaled[1])
+    assert abs(20 * np.log10(la / lb) - 5.0) < 0.5
+    np.testing.assert_allclose(mix, np.sum(scaled, axis=0), atol=1e-6)
+    assert np.abs(mix).max() <= 0.9 + 1e-6
+
+
+def test_mix_pair_modes(rng):
+    a = rng.standard_normal(1000).astype(np.float32)
+    b = rng.standard_normal(600).astype(np.float32)
+    m_min, s_min, _ = mix_pair([a, b], [0, 0], "min")
+    m_max, s_max, _ = mix_pair([a, b], [0, 0], "max")
+    assert m_min.shape[0] == 600 and m_max.shape[0] == 1000
+    assert np.allclose(s_max[1][600:], 0)
+    with pytest.raises(ValueError):
+        mix_pair([a, b], [0, 0], "median")
+
+
+def test_create_mixtures_tree(tmp_path, rng):
+    src_dir = tmp_path / "pool"
+    os.makedirs(src_dir)
+    for i in range(4):
+        write_wav(str(src_dir / f"u{i}.wav"),
+                  rng.standard_normal(3000).astype(np.float32) * 0.2,
+                  8000, "FLOAT")
+    pairs = random_pair_list([str(src_dir)], n_mixtures=3, C=2, seed=1)
+    out = tmp_path / "mixed"
+    meta = create_mixtures(pairs, str(out), mode="min")
+    assert len(meta) == 3
+    for m in meta:
+        mix, sr = read_wav(str(out / "mix" / (m["name"] + ".wav")))
+        s1, _ = read_wav(str(out / "s1" / (m["name"] + ".wav")))
+        s2, _ = read_wav(str(out / "s2" / (m["name"] + ".wav")))
+        assert sr == 8000 and len(mix) == m["n_samples"]
+        np.testing.assert_allclose(mix, s1 + s2, atol=2.5 / 32768)
+
+
+def test_pipeline_consumes_created_mixtures(tmp_path, rng):
+    # The created tree must flow through preprocess + AudioDataset.
+    from convtasnet_tpu.data.dataset import AudioDataset
+    from convtasnet_tpu.data.manifest import preprocess_one_dir
+
+    src_dir = tmp_path / "pool"
+    os.makedirs(src_dir)
+    for i in range(4):
+        write_wav(str(src_dir / f"u{i}.wav"),
+                  rng.standard_normal(9000).astype(np.float32) * 0.2,
+                  8000, "FLOAT")
+    out = tmp_path / "mixed"
+    create_mixtures(random_pair_list([str(src_dir)], 4, seed=2), str(out))
+    for spk in ["mix", "s1", "s2"]:
+        preprocess_one_dir(str(out / spk), str(tmp_path / "json"), spk, 8000)
+    ds = AudioDataset(str(tmp_path / "json"), batch_size=4, segment=1.0)
+    b = ds.load_batch(0)
+    np.testing.assert_allclose(b.mixture, b.source.sum(1), atol=1e-3)

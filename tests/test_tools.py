@@ -1,0 +1,47 @@
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from convtasnet_tpu.utils.tensor import remove_pad
+
+
+def test_remove_pad_3d():
+    x = np.arange(24).reshape(2, 2, 6)
+    out = remove_pad(x, [4, 6])
+    assert out[0].shape == (2, 4) and out[1].shape == (2, 6)
+    np.testing.assert_array_equal(out[0], x[0, :, :4])
+
+
+def test_remove_pad_2d():
+    x = np.arange(12).reshape(2, 6)
+    out = remove_pad(x, [3, 5])
+    assert out[0].shape == (3,) and out[1].shape == (5,)
+
+
+def test_run_job_array(tmp_path):
+    log = str(tmp_path / "job.JOB.log")
+    rc = subprocess.run(
+        [sys.executable, "tools/run_job.py", "--log", log, "JOB=1:3", "--",
+         sys.executable, "-c", "print('job JOB ok')"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert rc.returncode == 0, rc.stderr
+    for j in (1, 2, 3):
+        content = open(str(tmp_path / f"job.{j}.log")).read()
+        assert f"job {j} ok" in content
+        assert "exit status 0" in content
+
+
+def test_run_job_propagates_failure(tmp_path):
+    log = str(tmp_path / "f.log")
+    rc = subprocess.run(
+        [sys.executable, "tools/run_job.py", "--log", log, "--",
+         sys.executable, "-c", "raise SystemExit(3)"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert rc.returncode == 1
+    assert "failed jobs" in rc.stderr
