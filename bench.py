@@ -37,9 +37,10 @@ def main():
     seg_sec, sr = 4.0, 8000
     T = int(seg_sec * sr)
 
-    # remat: recompute each repeat in backward — the 32-block backward
-    # otherwise stores ~20+ f32 [B,K,H] residual buffers and OOMs 16 GB HBM.
-    cfg = ConvTasNetConfig(remat=True, use_pallas=jax.default_backend() != "cpu")
+    # Block-granular remat: stores only the [B,K,bottleneck] block inputs
+    # and recomputes block internals in backward — fastest measured policy
+    # (870 audio-s/s vs 826 repeat-remat vs OOM unremat'd at batch 8).
+    cfg = ConvTasNetConfig(remat="block", use_pallas=jax.default_backend() != "cpu")
     model = ConvTasNet(cfg)
     opt = Optimizer("adam", lr=1e-3)
     params, state = model.init(jax.random.key(0))

@@ -51,17 +51,20 @@ class ConvTasNetConfig:
     # --- TPU-native knobs (no reference analogue) ---
     # Matmul compute dtype; params and norm statistics always stay f32.
     compute_dtype: str = "bfloat16"
-    # Rematerialize each repeat during backprop (trade FLOPs for HBM).
-    remat: bool = False
+    # Rematerialization during backprop (trade FLOPs for HBM):
+    # False/"none" = store everything; True/"repeat" = checkpoint each of
+    # the R repeats; "block" = checkpoint each temporal block (finer:
+    # stores only the [M,K,B] block inputs, recomputes block internals).
+    remat: object = False
     # Reference quirk: xavier-normal init is applied to EVERY parameter with
     # ndim > 1 (conv_tasnet.py:41-43), which *includes* the [1, ch, 1]
     # gamma/beta of gLN/cLN, silently overwriting their 1/0 init
     # (conv_tasnet.py:315-317). True reproduces that behavior; False keeps
     # gamma=1, beta=0.
     reference_norm_init: bool = True
-    # Use Pallas kernels for the hot ops where available (XLA fallback
-    # otherwise). Auto-disabled off-TPU.
-    use_pallas: bool = False
+    # Pallas kernels for the hot ops: False = pure XLA; True = use where
+    # measured faster (inference forward); "always" = also in training.
+    use_pallas: object = False
 
     def __post_init__(self):
         if self.norm_type not in ("gLN", "cLN", "BN"):

@@ -198,12 +198,18 @@ def _temporal_block(
 def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
                    train: bool = False) -> bool:
     """Fused Pallas mid-chain applies to stateless norms when the [K, H]
-    slabs fit the kernel's VMEM budget (2 double-buffered + 1 bordered
-    activation-dtype slab). Training currently stays on the XLA path: the
-    kernel's custom-vjp backward re-runs the XLA forward for residuals,
-    which costs more than it saves until a fused backward kernel lands
-    (measured: fwd 8.35 vs 8.43 ms pallas/XLA; train step 41.7 vs 38.7)."""
-    if not cfg.use_pallas or train or cfg.norm_type == "BN" or bstate is not None:
+    slabs fit the kernel's VMEM budget (double-buffered + bordered
+    activation-dtype slabs). Forward and backward both exist as Pallas
+    kernels (fused_block.py / fused_block_bwd.py, three HBM slab transfers
+    each); measured on v5e at the paper config the forward wins slightly
+    (8.35 vs 8.43 ms) while the training step still trails XLA's fusion
+    pipeline (43.1 vs 38.7 ms — the serialized per-block DMAs don't
+    overlap the surrounding matmuls), so use_pallas=True enables the
+    kernels for inference only and use_pallas="always" forces them in
+    training too."""
+    if not cfg.use_pallas or cfg.norm_type == "BN" or bstate is not None:
+        return False
+    if train and cfg.use_pallas != "always":
         return False
     K = x.shape[1]
     slab = K * cfg.H * cfg.dtype.itemsize
@@ -252,8 +258,14 @@ def separate(
         for xi in range(cfg.X):
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
-            x, nbs = _temporal_block(x, bp, bs, cfg, 2**xi, train, axis_name,
-                                     fused_valid_k)
+            blk = _temporal_block
+            if cfg.remat == "block":
+                blk = jax.checkpoint(
+                    _temporal_block,
+                    static_argnums=(3, 4, 5, 6, 7),
+                )
+            x, nbs = blk(x, bp, bs, cfg, 2**xi, train, axis_name,
+                         fused_valid_k)
             if nbs is not None:
                 for k, v in nbs.items():
                     new_bs_r.setdefault(k, []).append(v)
@@ -261,7 +273,8 @@ def separate(
             new_bs_r = {k: jnp.stack(v) for k, v in new_bs_r.items()}
         return x, new_bs_r
 
-    body = jax.checkpoint(repeat_body) if cfg.remat else repeat_body
+    body = (jax.checkpoint(repeat_body)
+            if cfg.remat in (True, "repeat") else repeat_body)
     if has_bn:
         x, new_block_state = jax.lax.scan(body, x, (block_params, block_state))
         new_state: State = {"blocks": new_block_state}

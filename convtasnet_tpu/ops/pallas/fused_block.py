@@ -281,21 +281,20 @@ def _fwd(y, a1, g1, b1, w, a2, g2, b2, norm_type="gLN", dilation=1,
 
 def _bwd(norm_type, dilation, causal, interpret, valid_k, res, dz):
     y, a1, g1, b1, w, a2, g2, b2 = res
-    if valid_k is not None:
-        K_pad = y.shape[1]
-        y = y[:, :valid_k, :]
-        dz = dz[:, :valid_k, :]
+    from .fused_block_bwd import mid_bwd_pallas
 
-    def f(y, a1, g1, b1, w, a2, g2, b2):
-        return mid_reference(y, a1, g1, b1, w, a2, g2, b2,
-                             norm_type, dilation, causal)
-
-    _, vjp = jax.vjp(f, y, a1, g1, b1, w, a2, g2, b2)
-    grads = vjp(dz)
-    if valid_k is not None:
-        dy = jnp.pad(grads[0], ((0, 0), (0, K_pad - valid_k), (0, 0)))
-        grads = (dy,) + tuple(grads[1:])
-    return grads
+    dy, da1, dg1, db1, dw, da2, dg2, db2 = mid_bwd_pallas(
+        y, dz, a1, g1, b1, w, a2, g2, b2,
+        norm_type, dilation, causal, interpret, valid_k,
+    )
+    return (
+        dy,
+        da1.astype(jnp.asarray(a1).dtype).reshape(jnp.shape(a1)),
+        dg1.astype(g1.dtype), db1.astype(b1.dtype),
+        dw.astype(w.dtype),
+        da2.astype(jnp.asarray(a2).dtype).reshape(jnp.shape(a2)),
+        dg2.astype(g2.dtype), db2.astype(b2.dtype),
+    )
 
 
 fused_tcn_mid.defvjp(_fwd, _bwd)

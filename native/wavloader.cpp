@@ -10,9 +10,11 @@
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread wavloader.cpp -o libwavloader.so
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <thread>
 #include <vector>
 
@@ -141,31 +143,116 @@ long wav_decode(const char* path, float* out, long max_samples,
   return decode(buf, out, max_samples, rate_out);
 }
 
+namespace {
+
+// Persistent worker pool: spawned once, jobs dispatched via a shared batch
+// descriptor (per-call thread spawn dominated latency on small batches).
+
+struct BatchJob {
+  const char** paths = nullptr;
+  int n = 0;
+  float* out = nullptr;
+  long max_samples = 0;
+  long* lengths = nullptr;
+  uint32_t* rates = nullptr;
+};
+
+struct Pool {
+  std::mutex mu;
+  std::condition_variable cv_work, cv_done;
+  std::vector<std::thread> workers;
+  BatchJob job;
+  std::atomic<int> next{0};
+  std::atomic<int> done{0};
+  std::atomic<int> failed{0};
+  int active = 0;   // workers inside the item loop (guarded by mu)
+  bool busy = false;  // a run() is in flight (guarded by mu)
+  uint64_t generation = 0;
+  bool stop = false;
+
+  void worker_loop() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_work.wait(lk, [&] { return stop || generation != seen; });
+        if (stop) return;
+        seen = generation;
+        ++active;
+      }
+      for (;;) {
+        int i = next.fetch_add(1);
+        if (i >= job.n) break;
+        uint32_t rate = 0;
+        long got = wav_decode(job.paths[i],
+                              job.out + static_cast<long>(i) * job.max_samples,
+                              job.max_samples, &rate);
+        job.lengths[i] = got;
+        if (job.rates) job.rates[i] = rate;
+        if (got < 0) failed.store(1);
+        done.fetch_add(1);
+      }
+      {
+        std::lock_guard<std::mutex> lk(mu);
+        --active;
+        cv_done.notify_all();
+      }
+    }
+  }
+
+  void ensure(int n_threads) {
+    while (static_cast<int>(workers.size()) < n_threads)
+      workers.emplace_back([this] { worker_loop(); });
+  }
+
+  int run(const BatchJob& j, int n_threads) {
+    std::unique_lock<std::mutex> lk(mu);
+    // cv_done.wait below RELEASES mu, so the mutex alone does not exclude
+    // a second caller from swapping the job mid-flight; busy does.
+    cv_done.wait(lk, [&] { return !busy; });
+    busy = true;
+    ensure(n_threads);
+    job = j;
+    done.store(0);
+    failed.store(0);
+    next.store(0);
+    ++generation;
+    cv_work.notify_all();
+    // Completion requires BOTH all items done and all woken workers back
+    // out of the item loop — a worker paused between fetch_add and the
+    // bounds check must not overlap the next run()'s setup.
+    cv_done.wait(lk, [&] { return done.load() >= job.n && active == 0; });
+    busy = false;
+    int rc = failed.load() ? -1 : 0;
+    cv_done.notify_all();  // wake queued callers
+    return rc;
+  }
+};
+
+Pool* pool() {
+  // Intentionally leaked: joinable std::threads in a static's destructor
+  // would std::terminate at process exit.
+  static Pool* p = new Pool();
+  return p;
+}
+
+}  // namespace
+
 // Parallel batch decode. paths[n]; out is [n, max_samples] row-major;
 // lengths[n] receives per-file sample counts (-1 on error); rates[n]
 // receives sample rates (may be null). Returns 0, or -1 if any file failed.
 int wav_decode_batch(const char** paths, int n, float* out, long max_samples,
                      long* lengths, uint32_t* rates, int n_threads) {
+  if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
-  std::atomic<int> next(0);
-  std::atomic<int> failed(0);
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      uint32_t rate = 0;
-      long got = wav_decode(paths[i], out + static_cast<long>(i) * max_samples,
-                            max_samples, &rate);
-      lengths[i] = got;
-      if (rates) rates[i] = rate;
-      if (got < 0) failed.store(1);
-    }
-  };
-  std::vector<std::thread> pool;
-  int nt = n_threads < n ? n_threads : n;
-  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
-  for (auto& th : pool) th.join();
-  return failed.load() ? -1 : 0;
+  if (n == 1) {
+    uint32_t rate = 0;
+    lengths[0] = wav_decode(paths[0], out, max_samples, &rate);
+    if (rates) rates[0] = rate;
+    return lengths[0] < 0 ? -1 : 0;
+  }
+  BatchJob j{paths, n, out, max_samples, lengths, rates};
+  return pool()->run(j, n_threads < n ? n_threads : n);
 }
 
 }  // extern "C"

@@ -65,3 +65,30 @@ def test_dataset_uses_native_and_matches_python(tmp_path, rng):
     b_python = ds.load_batch(0)
     np.testing.assert_allclose(b_native.mixture, b_python.mixture, atol=1e-6)
     np.testing.assert_allclose(b_native.source, b_python.source, atol=1e-6)
+
+
+def test_native_concurrent_callers(tmp_path, rng):
+    """Hammer the persistent pool from many Python threads (the DataLoader
+    calls it concurrently); every batch must decode exactly."""
+    import concurrent.futures as futures
+
+    paths, refs = [], []
+    for i in range(8):
+        x = rng.uniform(-0.8, 0.8, 500 + 37 * i).astype(np.float32)
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, x, 8000, "FLOAT")
+        paths.append(p)
+        refs.append(x)
+
+    def job(seed):
+        order = np.random.default_rng(seed).permutation(8)
+        sel = [paths[j] for j in order]
+        buf, lens, rates = native_loader.decode_batch(sel, 1000, n_threads=3)
+        for k, j in enumerate(order):
+            assert lens[k] == refs[j].size
+            np.testing.assert_array_equal(buf[k, : lens[k]], refs[j])
+        return True
+
+    with futures.ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(job, range(60)))
+    assert all(results)
