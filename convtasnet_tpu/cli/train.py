@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_folder", default="exp/temp")
     p.add_argument("--checkpoint", default=0, type=int)
     p.add_argument("--continue_from", default="")
+    p.add_argument("--save_every_steps", default=0, type=int,
+                   help="preemption-safe latest.ckpt every N steps")
     p.add_argument("--model_path", default="final.ckpt")
     # Logging
     p.add_argument("--print_freq", default=10, type=int)
@@ -58,7 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--remat", default=0, type=int)
+    p.add_argument("--remat", default="0", type=str,
+                   choices=["0", "none", "1", "repeat", "block"],
+                   help="backprop rematerialization granularity")
     p.add_argument("--use_pallas", default=0, type=int)
     p.add_argument("--dp", default=0, type=int,
                    help="data-parallel size (0 = all devices)")
@@ -76,7 +80,9 @@ def main(argv=None):
         N=args.N, L=args.L, B=args.B, H=args.H, P=args.P, X=args.X, R=args.R,
         C=args.C, norm_type=args.norm_type, causal=bool(args.causal),
         mask_nonlinear=args.mask_nonlinear, compute_dtype=args.compute_dtype,
-        remat=bool(args.remat), use_pallas=bool(args.use_pallas),
+        remat={"0": False, "none": False, "1": "repeat"}.get(
+            args.remat, args.remat),
+        use_pallas=bool(args.use_pallas),
     )
     train_cfg = TrainConfig(
         epochs=args.epochs, half_lr=bool(args.half_lr),
@@ -86,6 +92,7 @@ def main(argv=None):
         segment=args.segment, cv_maxlen=args.cv_maxlen,
         shuffle=bool(args.shuffle), save_folder=args.save_folder,
         checkpoint=bool(args.checkpoint), continue_from=args.continue_from,
+        save_every_steps=args.save_every_steps,
         model_path=args.model_path, print_freq=args.print_freq, seed=args.seed,
         dp=args.dp, tp=args.tp,
     )

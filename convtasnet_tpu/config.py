@@ -108,6 +108,11 @@ class TrainConfig:
     # Checkpointing
     save_folder: str = "exp/temp"
     checkpoint: bool = False  # save per-epoch checkpoints
+    # Preemption-safe mid-epoch checkpointing: every N train steps write
+    # latest.ckpt carrying (epoch, step_in_epoch); resume replays the
+    # deterministic loader order and skips completed steps. 0 = off.
+    # (No reference analogue — resume there restarts the epoch.)
+    save_every_steps: int = 0
     continue_from: str = ""
     model_path: str = "final.ckpt"
     # Logging

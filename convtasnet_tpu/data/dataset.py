@@ -245,11 +245,23 @@ class DataLoader:
     def __len__(self):
         return len(self.dataset)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch so iteration order is a pure function of
+        (seed, epoch) — the deterministic-replay hook mid-epoch resume
+        relies on (reference torch DataLoader has no analogue)."""
+        self._epoch = epoch
+
     def __iter__(self) -> Iterator[Batch]:
+        return self.iter_from(0)
+
+    def iter_from(self, skip: int) -> Iterator[Batch]:
+        """Iterate, dropping the first `skip` planned batches without
+        decoding them (mid-epoch checkpoint resume)."""
         order = list(range(len(self.dataset)))
         if self.shuffle:
             rng = np.random.default_rng(self._seed + self._epoch)
             rng.shuffle(order)
+        order = order[skip:]
         self._epoch += 1
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

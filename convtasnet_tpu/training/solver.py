@@ -113,6 +113,12 @@ class Solver:
             self.start_epoch = ck["header"]["epoch"]
             self.tr_loss = ck["header"]["tr_loss"][: self.start_epoch]
             self.cv_loss = ck["header"]["cv_loss"][: self.start_epoch]
+            # Mid-epoch checkpoint: resume inside the epoch it was cut in,
+            # carrying the running loss sums so the epoch average is exact.
+            extra = ck["header"].get("extra", {}) or {}
+            self.resume_step = int(extra.get("step_in_epoch", 0))
+            self.resume_loss = float(extra.get("running_loss", 0.0))
+            self.resume_audio = float(extra.get("running_audio_sec", 0.0))
 
         if shard_params is not None:
             params, state, opt_state = shard_params(params, state, opt_state)
@@ -121,6 +127,11 @@ class Solver:
         self.train_step = make_train_step(model, self.opt, train_cfg.max_norm)
         self.eval_step = make_eval_step(model)
 
+        if not train_cfg.continue_from:
+            self.resume_step = 0
+        if not getattr(self, "resume_step", 0):
+            self.resume_loss = 0.0
+            self.resume_audio = 0.0
         self.prev_val_loss = float("inf")
         self.best_val_loss = float("inf")
         self.halving = False
@@ -204,8 +215,21 @@ class Solver:
         total_loss = 0.0
         total_audio_sec = 0.0
         start = time.time()
-        i = -1
-        for i, batch in enumerate(loader):
+        skip = 0
+        if not cross_valid:
+            # Deterministic order per (seed, epoch) for exact resume.
+            if hasattr(loader, "set_epoch"):
+                loader.set_epoch(epoch)
+            if self.resume_step and epoch == self.start_epoch:
+                skip = self.resume_step
+                total_loss = self.resume_loss
+                total_audio_sec = self.resume_audio
+                self.log(f"Resuming epoch {epoch + 1} at step {skip}")
+                self.resume_step = 0
+        it = loader.iter_from(skip) if (skip and hasattr(loader, "iter_from")) \
+            else iter(loader)
+        i = skip - 1
+        for i, batch in enumerate(it, start=skip):
             mixture, lengths, source = self.shard_batch(
                 batch.mixture, batch.lengths, batch.source
             )
@@ -224,16 +248,24 @@ class Solver:
                     f"Epoch {epoch + 1} | Iter {i + 1} | "
                     f"Average Loss {total_loss / (i + 1):.3f} | "
                     f"Current Loss {loss:.6f} | "
-                    f"{1000 * elapsed / (i + 1):.1f} ms/batch"
+                    f"{1000 * elapsed / max(i + 1 - skip, 1):.1f} ms/batch"
                 )
+            if (not cross_valid and self.cfg.save_every_steps
+                    and (i + 1) % self.cfg.save_every_steps == 0):
+                path = os.path.join(self.cfg.save_folder, "latest.ckpt")
+                self._save(path, epoch, extra={
+                    "step_in_epoch": i + 1,
+                    "running_loss": total_loss,
+                    "running_audio_sec": total_audio_sec,
+                })
         n = i + 1
-        if n == 0:
+        if n <= 0:
             return float("nan"), 0.0
         audio_sps = total_audio_sec / max(time.time() - start, 1e-9)
         return total_loss / n, audio_sps
 
     # ------------------------------------------------------------------
-    def _save(self, path: str, epoch: int) -> None:
+    def _save(self, path: str, epoch: int, extra: Optional[dict] = None) -> None:
         save_checkpoint(
             path,
             self.model.cfg,
@@ -243,4 +275,5 @@ class Solver:
             epoch=epoch,
             tr_loss=self.tr_loss,
             cv_loss=self.cv_loss,
+            extra=extra,
         )

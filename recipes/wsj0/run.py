@@ -65,9 +65,11 @@ def build_parser():
     p.add_argument("--print_freq", type=int, default=10)
     # TPU-native
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--remat", type=int, default=1)
+    p.add_argument("--remat", type=str, default="block",
+                   choices=["0", "none", "1", "repeat", "block"])
     p.add_argument("--use_pallas", type=int, default=1)
     p.add_argument("--dp", type=int, default=0)
+    p.add_argument("--pad_to_multiple", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     # Eval / separate
     p.add_argument("--cal_sdr", type=int, default=1)
@@ -131,9 +133,10 @@ def main(argv=None):
             "--save_folder", save, "--checkpoint", str(args.checkpoint),
             "--continue_from", args.continue_from,
             "--print_freq", str(args.print_freq),
-            "--compute_dtype", args.compute_dtype, "--remat", str(args.remat),
+            "--compute_dtype", args.compute_dtype, "--remat", args.remat,
             "--use_pallas", str(args.use_pallas),
             "--dp", str(args.dp), "--tp", str(args.tp),
+            "--pad_to_multiple", str(args.pad_to_multiple),
         ])
 
     if args.stage <= 3 <= args.stop_stage:

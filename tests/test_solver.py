@@ -106,3 +106,40 @@ def test_no_early_stop_when_disabled(tmp_path):
     s = _scripted(tmp_path, [10.0] * 12, epochs=12, early_stop=False)
     out = s.train()
     assert len(out["cv_loss"]) == 12
+
+
+def test_midepoch_checkpoint_resume(tmp_path):
+    """Preemption-safe resume: latest.ckpt written mid-epoch resumes inside
+    that epoch at the right step with deterministic loader order."""
+    from convtasnet_tpu.data.dataset import Batch
+    from convtasnet_tpu.training.checkpoint import load_header
+
+    class ListLoader(list):
+        def set_epoch(self, e):
+            self.epoch = e
+
+        def iter_from(self, skip):
+            self.last_skip = skip
+            return iter(list.__getitem__(self, slice(skip, None)))
+
+        def __iter__(self):
+            return self.iter_from(0)
+
+    rng = np.random.default_rng(3)
+    tr = ListLoader([Batch(*synthetic_batch(rng, 2, 2, 1024)) for _ in range(5)])
+    cv = ListLoader([Batch(*synthetic_batch(rng, 2, 2, 1024))])
+    model = ConvTasNet(ConvTasNetConfig(**TINY))
+    cfg = TrainConfig(epochs=1, save_folder=str(tmp_path), print_freq=100,
+                      save_every_steps=2)
+    Solver(model, cfg, tr, cv).train()
+    latest = os.path.join(str(tmp_path), "latest.ckpt")
+    assert os.path.exists(latest)
+    hdr = load_header(latest)
+    assert hdr["extra"]["step_in_epoch"] == 4  # saved at steps 2 and 4
+
+    cfg2 = TrainConfig(epochs=1, save_folder=str(tmp_path), print_freq=100,
+                       continue_from=latest)
+    s2 = Solver(model, cfg2, tr, cv)
+    assert s2.resume_step == 4
+    s2.train()
+    assert tr.last_skip == 4  # resumed epoch skipped completed steps
