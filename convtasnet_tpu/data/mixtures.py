@@ -104,6 +104,46 @@ def create_mixtures(
     return meta
 
 
+def random_pair_list_from_files(
+    files: Sequence[str],
+    n_mixtures: int,
+    C: int = 2,
+    snr_range: Tuple[float, float] = (0.0, 5.0),
+    seed: int = 0,
+    speaker_of=None,
+) -> List[Tuple[List[str], List[float]]]:
+    """Seeded random C-way pairing over a flat utterance list.
+
+    Like the MERL mixture lists, the C sources of a mixture always come
+    from C *different* speakers (speaker_of: path -> id, default the
+    parent directory name; falls back to distinct files when fewer than C
+    speakers exist). First source gets SNR 0 dB, the rest a uniform draw
+    in snr_range (the wsj0-mix convention).
+    """
+    if speaker_of is None:
+        speaker_of = lambda p: os.path.basename(os.path.dirname(p))
+    rng = np.random.default_rng(seed)
+    files = sorted(files)
+    by_spk: dict = {}
+    for f in files:
+        by_spk.setdefault(speaker_of(f), []).append(f)
+    speakers = sorted(by_spk)
+    distinct_spk = len(speakers) >= C
+    if not distinct_spk and len(files) < C:
+        raise ValueError(f"need at least {C} utterances to build mixtures")
+    out = []
+    for _ in range(n_mixtures):
+        if distinct_spk:
+            chosen = rng.choice(len(speakers), size=C, replace=False)
+            paths = [str(rng.choice(by_spk[speakers[i]])) for i in chosen]
+        else:
+            chosen = rng.choice(len(files), size=C, replace=False)
+            paths = [files[i] for i in chosen]
+        snrs = [0.0] + [float(rng.uniform(*snr_range)) for _ in range(C - 1)]
+        out.append((paths, snrs))
+    return out
+
+
 def random_pair_list(
     wav_dirs: Sequence[str],
     n_mixtures: int,
@@ -111,19 +151,13 @@ def random_pair_list(
     snr_range: Tuple[float, float] = (0.0, 5.0),
     seed: int = 0,
 ) -> List[Tuple[List[str], List[float]]]:
-    """Seeded random pairing across speaker directories (one dir per
-    speaker pool, or one pool dir reused). First source gets SNR 0, the
-    rest a uniform draw in snr_range (the wsj0-mix recipe's convention)."""
-    rng = np.random.default_rng(seed)
-    pools = [sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".wav")
-    ) for d in wav_dirs]
-    if len(pools) == 1:
-        pools = pools * C
-    assert len(pools) == C
-    out = []
-    for _ in range(n_mixtures):
-        paths = [str(rng.choice(p)) for p in pools]
-        snrs = [0.0] + [float(rng.uniform(*snr_range)) for _ in range(C - 1)]
-        out.append((paths, snrs))
-    return out
+    """random_pair_list_from_files over the wavs found under wav_dirs
+    (recursive). Speaker id is the wav's parent directory."""
+    files = [
+        os.path.join(r, f)
+        for d in wav_dirs
+        for r, _, fs in os.walk(d)
+        for f in fs if f.endswith(".wav")
+    ]
+    return random_pair_list_from_files(files, n_mixtures, C=C,
+                                       snr_range=snr_range, seed=seed)

@@ -74,6 +74,19 @@ def build_parser():
     # Eval / separate
     p.add_argument("--cal_sdr", type=int, default=1)
     p.add_argument("--exp_root", default="exp")
+    # Stage 0: corpus prep (sphere->wav via native/sphio.cpp, the sph2pipe
+    # analogue; mixture creation via data/mixtures.py, the MERL analogue)
+    p.add_argument("--sphere_root", default="",
+                   help="raw WSJ0 corpus root with .wv1/.sph files; when set, "
+                        "stage 0 converts it and (optionally) creates mixtures")
+    p.add_argument("--spk_wav_root", default="data/wsj0_wav",
+                   help="output tree for converted single-speaker wavs")
+    p.add_argument("--create_mixtures", type=int, default=1)
+    p.add_argument("--n_mix_tr", type=int, default=20000)
+    p.add_argument("--n_mix_cv", type=int, default=5000)
+    p.add_argument("--n_mix_tt", type=int, default=3000)
+    p.add_argument("--mix_mode", default="min", choices=["min", "max"])
+    p.add_argument("--mix_seed", type=int, default=0)
     return p
 
 
@@ -101,8 +114,50 @@ def main(argv=None):
     print(f"exp dir: {save}")
 
     if args.stage <= 0 <= args.stop_stage:
-        print("Stage 0: corpus preparation is external — see docs/data.md "
-              "for sphere->wav conversion and MERL mixture generation.")
+        if not args.sphere_root:
+            print("Stage 0: skipped (no --sphere_root). To prepare a raw "
+                  "LDC corpus, pass --sphere_root <wsj0>; see docs/data.md.")
+        else:
+            from convtasnet_tpu.data.mixtures import (
+                create_mixtures, random_pair_list_from_files)
+            from convtasnet_tpu.data.sphio import convert_sphere_dir
+            # WSJ0 split dirs -> recipe splits (local/data_prepare.sh:16-33).
+            splits = [("si_tr_s", "tr"), ("si_dt_05", "cv"), ("si_et_05", "tt")]
+            found = [s for s, _ in splits
+                     if os.path.isdir(os.path.join(args.sphere_root, s))]
+            if found:
+                for sub, split in splits:
+                    src = os.path.join(args.sphere_root, sub)
+                    if not os.path.isdir(src):
+                        continue
+                    dst = os.path.join(args.spk_wav_root, split)
+                    n = len(convert_sphere_dir(src, dst,
+                                               n_threads=args.num_workers))
+                    print(f"Stage 0: {sub} -> {dst}: {n} wavs")
+            else:
+                dst = os.path.join(args.spk_wav_root, "tr")
+                n = len(convert_sphere_dir(args.sphere_root, dst,
+                                           n_threads=args.num_workers))
+                print(f"Stage 0: {args.sphere_root} -> {dst}: {n} wavs "
+                      "(no si_* split dirs found; all into tr)")
+            if args.create_mixtures:
+                counts = {"tr": args.n_mix_tr, "cv": args.n_mix_cv,
+                          "tt": args.n_mix_tt}
+                for split, n_mix in counts.items():
+                    spk = os.path.join(args.spk_wav_root, split)
+                    wavs = [os.path.join(r, f)
+                            for r, _, fs in os.walk(spk)
+                            for f in fs if f.endswith(".wav")]
+                    if not wavs:
+                        continue
+                    # Distinct-speaker pairing + SNR draw, fully seeded.
+                    pairs = random_pair_list_from_files(
+                        wavs, min(n_mix, len(wavs) ** 2), C=args.C,
+                        seed=args.mix_seed)
+                    out = os.path.join(args.wav_root, split)
+                    create_mixtures(pairs, out, sample_rate=args.sample_rate,
+                                    mode=args.mix_mode)
+                    print(f"Stage 0: wrote {len(pairs)} {split} mixtures -> {out}")
 
     if args.stage <= 1 <= args.stop_stage:
         print("Stage 1: generating manifests")

@@ -82,3 +82,25 @@ def test_pipeline_consumes_created_mixtures(tmp_path, rng):
     ds = AudioDataset(str(tmp_path / "json"), batch_size=4, segment=1.0)
     b = ds.load_batch(0)
     np.testing.assert_allclose(b.mixture, b.source.sum(1), atol=1e-3)
+
+
+def test_random_pairs_use_distinct_speakers(tmp_path):
+    """MERL-list semantics: the C sources of one mixture never share a
+    speaker (and never a file), given enough speakers."""
+    import os
+    from convtasnet_tpu.data.mixtures import random_pair_list_from_files
+    files = []
+    for spk in ["011", "012", "013"]:
+        d = tmp_path / spk
+        d.mkdir()
+        for u in range(3):
+            p = d / f"u{u}.wav"
+            p.write_bytes(b"")
+            files.append(str(p))
+    pairs = random_pair_list_from_files(files, 50, C=2, seed=3)
+    assert len(pairs) == 50
+    for paths, snrs in pairs:
+        spk = [os.path.basename(os.path.dirname(p)) for p in paths]
+        assert spk[0] != spk[1]
+        assert paths[0] != paths[1]
+        assert snrs[0] == 0.0 and 0.0 <= snrs[1] <= 5.0
