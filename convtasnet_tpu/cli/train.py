@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     # Logging
     p.add_argument("--print_freq", default=10, type=int)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--visualize", default=0, type=int,
+                   help="re-render <save_folder>/loss.png each epoch (visdom analogue)")
     # TPU-native
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
@@ -94,7 +96,7 @@ def main(argv=None):
         checkpoint=bool(args.checkpoint), continue_from=args.continue_from,
         save_every_steps=args.save_every_steps,
         model_path=args.model_path, print_freq=args.print_freq, seed=args.seed,
-        dp=args.dp, tp=args.tp,
+        dp=args.dp, tp=args.tp, visualize=bool(args.visualize),
     )
 
     tr_dataset = AudioDataset(

@@ -118,6 +118,9 @@ class TrainConfig:
     # Logging
     print_freq: int = 10
     seed: int = 0
+    # Re-render <save_folder>/loss.png after each epoch (the reference's
+    # visdom live-curve analogue, solver.py:139-156); needs matplotlib.
+    visualize: bool = False
     # Parallelism (TPU-native; no reference analogue)
     dp: int = 1  # data-parallel mesh size
     tp: int = 1  # tensor-parallel (shard H / C*N channels)

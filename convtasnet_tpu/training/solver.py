@@ -195,6 +195,14 @@ class Solver:
             )
             if self.metric_logger is not None:
                 self.metric_logger.metrics(**self.history[-1])
+            if cfg.visualize:
+                try:
+                    from ..utils.visualize import plot_history
+
+                    plot_history(self.history,
+                                 os.path.join(cfg.save_folder, "loss.png"))
+                except Exception as e:  # plotting must never kill training
+                    self.log(f"visualize failed: {e}")
             if val_loss < self.best_val_loss:
                 self.best_val_loss = val_loss
                 path = os.path.join(cfg.save_folder, cfg.model_path)

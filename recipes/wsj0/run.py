@@ -3,8 +3,10 @@
 (run.sh:77-175) as a config-driven Python launcher.
 
 Stages:
-  0: corpus preparation (external: sphere->wav + MERL mixture scripts; this
-     framework consumes the prepared wav tree, see docs/data.md)
+  0: corpus preparation — sphere->wav via the native SPHERE/shorten
+     decoder (native/sphio.cpp, the sph2pipe analogue) and mixture
+     creation (data/mixtures.py, the MERL-scripts analogue); pass
+     --sphere_root to enable (see docs/data.md)
   1: manifest generation (preprocess)
   2: training
   3: evaluation (SI-SNRi, optional SDRi)
@@ -63,6 +65,7 @@ def build_parser():
     p.add_argument("--checkpoint", type=int, default=1)
     p.add_argument("--continue_from", default="")
     p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--visualize", type=int, default=1)
     # TPU-native
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--remat", type=str, default="block",
@@ -188,6 +191,7 @@ def main(argv=None):
             "--save_folder", save, "--checkpoint", str(args.checkpoint),
             "--continue_from", args.continue_from,
             "--print_freq", str(args.print_freq),
+            "--visualize", str(args.visualize),
             "--compute_dtype", args.compute_dtype, "--remat", args.remat,
             "--use_pallas", str(args.use_pallas),
             "--dp", str(args.dp), "--tp", str(args.tp),
