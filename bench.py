@@ -33,14 +33,16 @@ def main():
     from convtasnet_tpu.training.optim import Optimizer
     from convtasnet_tpu.training.solver import make_train_step
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     seg_sec, sr = 4.0, 8000
     T = int(seg_sec * sr)
 
-    # Block-granular remat: stores only the [B,K,bottleneck] block inputs
-    # and recomputes block internals in backward — fastest measured policy
-    # (870 audio-s/s vs 826 repeat-remat vs OOM unremat'd at batch 8).
-    cfg = ConvTasNetConfig(remat="block", use_pallas=jax.default_backend() != "cpu")
+    # Fastest measured policy on v5e (see docs/results.md sweep): NO remat
+    # with the R-repeat scan fully unrolled — unrolling lets XLA schedule
+    # across repeats and stop spilling, so the whole backward fits at
+    # batch 5 (17.9 ms, ~1118 audio-s/s vs 898 for block-remat batch 8).
+    cfg = ConvTasNetConfig(remat=False, scan_unroll=4,
+                           use_pallas=jax.default_backend() != "cpu")
     model = ConvTasNet(cfg)
     opt = Optimizer("adam", lr=1e-3)
     params, state = model.init(jax.random.key(0))

@@ -63,8 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--remat", default="0", type=str,
-                   choices=["0", "none", "1", "repeat", "block"],
+                   choices=["0", "none", "1", "repeat", "block", "dots"],
                    help="backprop rematerialization granularity")
+    p.add_argument("--scan_unroll", default=1, type=int,
+                   help="unroll factor for the scan over the R repeats")
     p.add_argument("--use_pallas", default=0, type=int)
     p.add_argument("--dp", default=0, type=int,
                    help="data-parallel size (0 = all devices)")
@@ -85,6 +87,7 @@ def main(argv=None):
         remat={"0": False, "none": False, "1": "repeat"}.get(
             args.remat, args.remat),
         use_pallas=bool(args.use_pallas),
+        scan_unroll=args.scan_unroll,
     )
     train_cfg = TrainConfig(
         epochs=args.epochs, half_lr=bool(args.half_lr),

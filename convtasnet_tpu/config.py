@@ -54,8 +54,13 @@ class ConvTasNetConfig:
     # Rematerialization during backprop (trade FLOPs for HBM):
     # False/"none" = store everything; True/"repeat" = checkpoint each of
     # the R repeats; "block" = checkpoint each temporal block (finer:
-    # stores only the [M,K,B] block inputs, recomputes block internals).
+    # stores only the [M,K,B] block inputs, recomputes block internals);
+    # "dots" = per-block checkpoint with the dots_saveable policy (keeps
+    # matmul outputs, recomputes only elementwise in backward).
     remat: object = False
+    # Unroll factor for the scan over the R repeats (1 = rolled loop;
+    # R = fully unrolled, letting XLA schedule across repeats).
+    scan_unroll: int = 1
     # Reference quirk: xavier-normal init is applied to EVERY parameter with
     # ndim > 1 (conv_tasnet.py:41-43), which *includes* the [1, ch, 1]
     # gamma/beta of gLN/cLN, silently overwriting their 1/0 init

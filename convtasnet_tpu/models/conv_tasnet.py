@@ -264,6 +264,15 @@ def separate(
                     _temporal_block,
                     static_argnums=(3, 4, 5, 6, 7),
                 )
+            elif cfg.remat == "dots":
+                # Keep every matmul output, recompute only elementwise
+                # (PReLU/norm) in backward: ~1/4 less matmul work than
+                # "block" at the cost of two [M,K,H]-sized residuals/block.
+                blk = jax.checkpoint(
+                    _temporal_block,
+                    static_argnums=(3, 4, 5, 6, 7),
+                    policy=jax.checkpoint_policies.dots_saveable,
+                )
             x, nbs = blk(x, bp, bs, cfg, 2**xi, train, axis_name,
                          fused_valid_k)
             if nbs is not None:
@@ -275,11 +284,13 @@ def separate(
 
     body = (jax.checkpoint(repeat_body)
             if cfg.remat in (True, "repeat") else repeat_body)
+    unroll = max(1, int(getattr(cfg, "scan_unroll", 1)))
     if has_bn:
-        x, new_block_state = jax.lax.scan(body, x, (block_params, block_state))
+        x, new_block_state = jax.lax.scan(body, x, (block_params, block_state),
+                                          unroll=unroll)
         new_state: State = {"blocks": new_block_state}
     else:
-        x, _ = jax.lax.scan(body, x, (block_params, None))
+        x, _ = jax.lax.scan(body, x, (block_params, None), unroll=unroll)
         new_state = state
     if fused_valid_k is not None and x.shape[1] != K:
         x = x[:, :K, :]

@@ -68,8 +68,10 @@ def build_parser():
     p.add_argument("--visualize", type=int, default=1)
     # TPU-native
     p.add_argument("--compute_dtype", default="bfloat16")
-    p.add_argument("--remat", type=str, default="block",
-                   choices=["0", "none", "1", "repeat", "block"])
+    p.add_argument("--remat", type=str, default="dots",
+                   choices=["0", "none", "1", "repeat", "block", "dots"])
+    p.add_argument("--scan_unroll", type=int, default=0,
+                   help="0 = fully unroll the R-repeat scan")
     p.add_argument("--use_pallas", type=int, default=1)
     p.add_argument("--dp", type=int, default=0)
     p.add_argument("--pad_to_multiple", type=int, default=1)
@@ -193,6 +195,8 @@ def main(argv=None):
             "--print_freq", str(args.print_freq),
             "--visualize", str(args.visualize),
             "--compute_dtype", args.compute_dtype, "--remat", args.remat,
+            "--scan_unroll", str(args.scan_unroll if args.scan_unroll
+                                 else args.R),
             "--use_pallas", str(args.use_pallas),
             "--dp", str(args.dp), "--tp", str(args.tp),
             "--pad_to_multiple", str(args.pad_to_multiple),

@@ -45,3 +45,16 @@ def test_run_job_propagates_failure(tmp_path):
     )
     assert rc.returncode == 1
     assert "failed jobs" in rc.stderr
+
+
+def test_bench_scaling_tiny_mesh():
+    """DP weak-scaling bench runs on the virtual mesh and reports
+    efficiency rows (tools/bench_scaling.py; BASELINE.md scaling metric)."""
+    from tools.bench_scaling import main as scaling_main
+
+    rows = scaling_main(["--tiny", "--per_device_batch", "1", "--steps", "2",
+                         "--max_devices", "2"])
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[0]["audio_sps"] > 0
+    assert rows[1]["global_batch"] == 2
+    assert "efficiency_vs_1" in rows[1]
