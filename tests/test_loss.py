@@ -108,3 +108,37 @@ def test_padding_invariance(rng):
         jnp.asarray(np.pad(src, pad)), jnp.asarray(np.pad(est, pad)), jnp.asarray(lengths)
     )
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+
+
+def test_gram_matches_direct():
+    """The single-pass Gram form of the pairwise SI-SNR table equals the
+    reference-order direct form (ops/loss.py _pair_snr_gram/_direct)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(42)
+    for B, C, T in [(3, 2, 4000), (2, 3, 2500)]:
+        src = rng.normal(size=(B, C, T)).astype(np.float32)
+        est = src + 0.5 * rng.normal(size=(B, C, T)).astype(np.float32)
+        lengths = np.full(B, T, np.int32)
+        lengths[-1] = T - 700
+        src[-1, :, T - 700:] = 0.0
+        lg, pg, _ = si_snr_with_pit(jnp.asarray(src), jnp.asarray(est),
+                                    jnp.asarray(lengths), method="gram")
+        ld, pd, _ = si_snr_with_pit(jnp.asarray(src), jnp.asarray(est),
+                                    jnp.asarray(lengths), method="direct")
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(ld), rtol=2e-4)
+        np.testing.assert_array_equal(np.asarray(pg), np.asarray(pd))
+
+
+def test_gram_high_snr_stable():
+    """Near-perfect estimates (cancellation-prone for the Gram form) must
+    stay finite and ordered correctly."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(2, 2, 3000)).astype(np.float32)
+    est = src + 1e-3 * rng.normal(size=(2, 2, 3000)).astype(np.float32)
+    lengths = np.full(2, 3000, np.int32)
+    snr, perm, _ = si_snr_with_pit(jnp.asarray(src), jnp.asarray(est),
+                                   jnp.asarray(lengths), method="gram")
+    assert np.all(np.isfinite(np.asarray(snr)))
+    assert np.all(np.asarray(snr) > 40.0)
+    np.testing.assert_array_equal(np.asarray(perm), [[0, 1], [0, 1]])
