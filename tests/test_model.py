@@ -149,3 +149,35 @@ def test_num_params_matches_formula():
         + R * X * (B * H + H * B + P * H + 2 + 4 * H)  # blocks
     )
     assert model.num_params(params) == want
+
+
+@pytest.mark.parametrize("remat", ["block", "dots"])
+def test_remat_policies_match_forward_and_grad(rng, remat):
+    """remat='block'/'dots' and scan_unroll change scheduling only — the
+    forward output and the gradients must match the un-rematerialized,
+    rolled-scan baseline."""
+    from convtasnet_tpu.ops.loss import cal_loss
+
+    cfg = ConvTasNetConfig(**TINY)
+    cfg_r = ConvTasNetConfig(remat=remat, scan_unroll=2, **TINY)
+    params, state = init_params(jax.random.key(9), cfg)
+    mix = _mix(rng)
+    src = jnp.stack([mix * 0.6, mix * 0.4], axis=1)
+    lens = jnp.full(mix.shape[0], mix.shape[1], jnp.int32)
+
+    y1, _ = forward(params, state, cfg, mix)
+    y2, _ = forward(params, state, cfg_r, mix)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss_of(c):
+        def f(p):
+            est, _ = forward(p, state, c, mix, train=True)
+            return cal_loss(src, est, lens)[0]
+        return jax.grad(f)(params)
+
+    g1, g2 = loss_of(cfg), loss_of(cfg_r)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
