@@ -29,6 +29,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--cv_maxlen", default=1e9, type=float)
+    p.add_argument("--pad_to_multiple", default=1, type=int,
+                   help="pad utterances to a sample multiple so XLA compiles "
+                        "a bounded set of shapes instead of one per length "
+                        "(lengths stay exact; only gLN statistics see the "
+                        "padding, matching batch-max padding semantics)")
     return p
 
 
@@ -39,6 +44,7 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,
         segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=cfg.C,
+        pad_to_multiple=args.pad_to_multiple,
     )
     loader = DataLoader(dataset, num_workers=2)
 

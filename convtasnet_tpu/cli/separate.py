@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="exp/result")
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
+    p.add_argument("--pad_to_multiple", default=1, type=int,
+                   help="pad mixtures to a sample multiple to bound the "
+                        "number of compiled shapes")
     return p
 
 
@@ -39,7 +42,8 @@ def separate(args) -> int:
     cfg, params, state = load_model(args.model_path)
     dataset = EvalDataset(args.mix_dir, args.mix_json,
                           batch_size=args.batch_size,
-                          sample_rate=args.sample_rate)
+                          sample_rate=args.sample_rate,
+                          pad_to_multiple=args.pad_to_multiple)
     loader = DataLoader(dataset, num_workers=2)
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -197,8 +197,10 @@ class EvalDataset:
     directory of wavs (manifested on the fly) or an existing mix.json."""
 
     def __init__(self, mix_dir: Optional[str] = None, mix_json: Optional[str] = None,
-                 batch_size: int = 1, sample_rate: int = 8000):
+                 batch_size: int = 1, sample_rate: int = 8000,
+                 pad_to_multiple: int = 1):
         assert mix_dir is not None or mix_json is not None
+        self.pad_to_multiple = pad_to_multiple
         if mix_dir is not None:
             from .manifest import preprocess_one_dir
 
@@ -224,6 +226,10 @@ class EvalDataset:
             names.append(path)
         lengths = np.array([m.shape[0] for m in mixtures], dtype=np.int32)
         maxT = int(lengths.max())
+        if self.pad_to_multiple > 1:
+            # Bound the number of distinct compiled shapes: without this,
+            # batch_size=1 inference compiles once PER UTTERANCE length.
+            maxT = -(-maxT // self.pad_to_multiple) * self.pad_to_multiple
         mix_pad = np.zeros((len(mixtures), maxT), np.float32)
         for b, m in enumerate(mixtures):
             mix_pad[b, : lengths[b]] = m

@@ -210,6 +210,7 @@ def main(argv=None):
             "--data_dir", os.path.join(args.json_root, "tt"),
             "--cal_sdr", str(args.cal_sdr),
             "--sample_rate", str(args.sample_rate),
+            "--pad_to_multiple", str(args.pad_to_multiple),
         ])
 
     if args.stage <= 4 <= args.stop_stage:
@@ -220,6 +221,7 @@ def main(argv=None):
             "--mix_json", os.path.join(args.json_root, "tt", "mix.json"),
             "--out_dir", os.path.join(save, "separate"),
             "--sample_rate", str(args.sample_rate),
+            "--pad_to_multiple", str(args.pad_to_multiple),
         ])
 
 

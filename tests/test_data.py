@@ -118,3 +118,27 @@ def test_eval_dataset_from_dir(wav_root):
         total += len(b.filenames)
     assert total == 6
     assert os.path.exists(os.path.join(mix_dir, "mix.json"))
+
+
+def test_eval_dataset_pad_to_multiple(tmp_path):
+    """pad_to_multiple bounds the distinct batch shapes so batch-1
+    inference compiles O(1) programs instead of one per utterance length
+    (the TPU eval-throughput bug class)."""
+    from convtasnet_tpu.data.dataset import EvalDataset
+    from convtasnet_tpu.data.wavio import write_wav
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "mix"
+    d.mkdir()
+    for i, n in enumerate([3100, 4200, 5300, 6400]):
+        write_wav(str(d / f"u{i}.wav"), rng.normal(size=n).astype(np.float32) * 0.1,
+                  8000)
+    ds = EvalDataset(mix_dir=str(d), batch_size=1, sample_rate=8000,
+                     pad_to_multiple=4000)
+    shapes = set()
+    for i in range(len(ds)):
+        b = ds.load_batch(i)
+        assert b.mixture.shape[1] % 4000 == 0
+        assert b.mixture.shape[1] >= int(b.lengths.max())
+        shapes.add(b.mixture.shape[1])
+    assert shapes == {4000, 8000}
