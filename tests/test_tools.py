@@ -58,3 +58,13 @@ def test_bench_scaling_tiny_mesh():
     assert rows[0]["audio_sps"] > 0
     assert rows[1]["global_batch"] == 2
     assert "efficiency_vs_1" in rows[1]
+
+
+def test_bench_streaming_tiny():
+    """Streaming latency bench runs and reports RTF rows
+    (tools/bench_streaming.py)."""
+    from tools.bench_streaming import main as streaming_main
+
+    rows = streaming_main(["--tiny", "--chunks_ms", "20", "--steps", "3"])
+    assert len(rows) == 1
+    assert rows[0]["latency_ms"] > 0 and rows[0]["rtf"] > 0
