@@ -38,6 +38,13 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
+    # Multi-process CPU (tests / simulation) needs the gloo collectives
+    # backend; harmless on TPU where ICI collectives are native.
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax without the option
     if process_id is not None:
         kwargs["process_id"] = process_id
     jax.distributed.initialize(**kwargs)
