@@ -14,64 +14,32 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
-_lock = threading.Lock()
-_lib = None
-_tried = False
+from ._native import NativeLib
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "wavloader.cpp")
 
 
-def _build_lib() -> Optional[str]:
-    so_env = os.environ.get("WAVLOADER_SO")
-    if so_env and os.path.exists(so_env):
-        return so_env
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
-        return None
-    so = os.path.join(os.path.dirname(src), "libwavloader.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             src, "-o", so + ".tmp"],
-            check=True, capture_output=True, timeout=120,
-        )
-        os.replace(so + ".tmp", so)
-        return so
-    except (subprocess.SubprocessError, OSError):
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.wav_decode_batch.restype = ctypes.c_int
+    lib.wav_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_int,
+    ]
+
+
+_NATIVE = NativeLib(_SRC, "libwavloader.so", "WAVLOADER_SO", _configure,
+                    extra_flags=("-pthread",))
 
 
 def get_lib():
     """Load (building if needed) the native library, or None."""
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        so = _build_lib()
-        if so is None:
-            return None
-        try:
-            lib = ctypes.CDLL(so)
-        except OSError:
-            return None
-        lib.wav_decode_batch.restype = ctypes.c_int
-        lib.wav_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
-            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_uint32),
-            ctypes.c_int,
-        ]
-        _lib = lib
-        return _lib
+    return _NATIVE.get()
 
 
 def available() -> bool:

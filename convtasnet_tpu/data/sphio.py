@@ -15,16 +15,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
 
-_lock = threading.Lock()
-_lib = None
-_tried = False
+from ._native import NativeLib
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "sphio.cpp")
 
@@ -39,53 +35,25 @@ _ERRORS = {
 SPHERE_EXTENSIONS = (".wv1", ".wv2", ".sph")
 
 
-def _build_lib() -> Optional[str]:
-    so_env = os.environ.get("SPHIO_SO")
-    if so_env and os.path.exists(so_env):
-        return so_env
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
-        return None
-    so = os.path.join(os.path.dirname(src), "libsphio.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so + ".tmp"],
-            check=True, capture_output=True, timeout=120,
-        )
-        os.replace(so + ".tmp", so)
-        return so
-    except (subprocess.SubprocessError, OSError):
-        return None
+def _configure(lib: ctypes.CDLL) -> None:
+    lib.sph_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.sph_info.restype = ctypes.c_int
+    lib.sph_decode.argtypes = [
+        ctypes.c_char_p,
+        np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+        ctypes.c_int64,
+    ]
+    lib.sph_decode.restype = ctypes.c_int64
+
+
+_NATIVE = NativeLib(_SRC, "libsphio.so", "SPHIO_SO", _configure)
 
 
 def _get_lib():
-    global _lib, _tried
-    with _lock:
-        if _tried:
-            return _lib
-        _tried = True
-        so = _build_lib()
-        if so is None:
-            return None
-        try:
-            lib = ctypes.CDLL(so)
-        except OSError:
-            return None
-        lib.sph_info.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.sph_info.restype = ctypes.c_int
-        lib.sph_decode.argtypes = [
-            ctypes.c_char_p,
-            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
-            ctypes.c_int64,
-        ]
-        lib.sph_decode.restype = ctypes.c_int64
-        _lib = lib
-        return _lib
+    return _NATIVE.get()
 
 
 def native_available() -> bool:
@@ -122,6 +90,7 @@ def read_sphere_int16(path: str) -> Tuple[np.ndarray, int]:
     else:
         pcm = _decode_py(path)
         frames = pcm.size // channels
+        pcm = pcm[: frames * channels]  # drop a truncated trailing frame
     if channels > 1:
         pcm = pcm.reshape(frames, channels)
     return pcm, rate
@@ -212,10 +181,12 @@ def _decode_py(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         f.seek(h["header_bytes"])
         raw = f.read()
+    declared = h["sample_count"] * h["channel_count"] or None
     if h["sample_n_bytes"] == 2:
         dt = "<i2" if h["sample_byte_format"] == "01" else ">i2"
-        return np.frombuffer(raw[: len(raw) // 2 * 2], dtype=dt).astype(np.int16)
-    b = np.frombuffer(raw, dtype=np.uint8)
+        pcm = np.frombuffer(raw[: len(raw) // 2 * 2], dtype=dt).astype(np.int16)
+        return pcm[:declared]
+    b = np.frombuffer(raw, dtype=np.uint8)[:declared]
     if coding.startswith(("ulaw", "mu-law")):
         return _ulaw_table()[b]
     if coding.startswith("alaw"):

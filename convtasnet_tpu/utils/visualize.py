@@ -64,8 +64,14 @@ def plot_loss_curves(
     plt = _mpl()
     if plt is None or not len(tr_loss):
         return None
+    import numpy as _np
+
     epochs = list(range(1, len(tr_loss) + 1))
+    # Align CV to the epoch axis; missing entries (CV run every k epochs,
+    # partial histories) become NaN, which matplotlib renders as gaps.
     cv = list(cv_loss[: len(tr_loss)])
+    cv += [float("nan")] * (len(tr_loss) - len(cv))
+    has_cv = any(_np.isfinite(v) for v in cv)
 
     n_rows = 2 if lr is not None and len(lr) else 1
     fig, axes = plt.subplots(
@@ -77,16 +83,17 @@ def plot_loss_curves(
 
     _style_axis(ax)
     ax.plot(epochs, tr_loss, color=_BLUE, linewidth=2, label="train")
-    if cv:
+    if has_cv:
         ax.plot(epochs, cv, color=_ORANGE, linewidth=2, linestyle=(0, (5, 2)),
                 label="cross-validation")
-    # Selective direct labels: name each series at its last point.
+    # Selective direct labels: name each series at its last finite point.
     ax.annotate(f" train {tr_loss[-1]:.2f}", (epochs[-1], tr_loss[-1]),
                 color=_INK, fontsize=9, va="center")
-    if cv:
-        ax.annotate(f" cv {cv[-1]:.2f}", (len(cv), cv[-1]),
+    if has_cv:
+        finite = [i for i, v in enumerate(cv) if _np.isfinite(v)]
+        last, best = finite[-1], min(finite, key=lambda i: cv[i])
+        ax.annotate(f" cv {cv[last]:.2f}", (last + 1, cv[last]),
                     color=_INK, fontsize=9, va="center")
-        best = int(min(range(len(cv)), key=lambda i: cv[i]))
         ax.scatter([best + 1], [cv[best]], s=36, color=_ORANGE, zorder=3,
                    edgecolor=_SURFACE, linewidth=2)
     ax.set_ylabel("loss = −SI-SNR (dB)", color=_INK, fontsize=10)
@@ -120,8 +127,13 @@ def plot_history(history: List[Dict[str, Any]], out_path: str,
     if not rows:
         return None
     tr = [float(h["tr_loss"]) for h in rows]
-    cv = [float(h["cv_loss"]) for h in rows if "cv_loss" in h]
-    lr = [float(h["lr"]) for h in rows if "lr" in h] or None
+    # Keep per-epoch alignment: rows without cv_loss/lr contribute NaN.
+    cv = [float(h["cv_loss"]) if "cv_loss" in h else float("nan")
+          for h in rows]
+    lr = [float(h["lr"]) if "lr" in h else float("nan") for h in rows]
+    import math
+    if all(math.isnan(v) for v in lr):
+        lr = None
     return plot_loss_curves(tr, cv, out_path, lr=lr, title=title)
 
 
@@ -167,6 +179,9 @@ def main(argv=None) -> int:
     if os.path.isdir(src):
         jsonl = os.path.join(src, "history.jsonl")
         out = args.out or os.path.join(src, "loss.png")
+        if not os.path.exists(jsonl):
+            print(f"nothing plotted ({jsonl} does not exist yet)")
+            return 1
         got = plot_history_jsonl(jsonl, out)
     elif src.endswith(".jsonl"):
         out = args.out or os.path.join(os.path.dirname(src) or ".", "loss.png")

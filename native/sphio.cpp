@@ -17,10 +17,12 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 sphio.cpp -o libsphio.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -49,6 +51,19 @@ bool read_file(const char* path, std::vector<uint8_t>* buf) {
   size_t got = std::fread(buf->data(), 1, buf->size(), f);
   std::fclose(f);
   return got == buf->size();
+}
+
+// Reads at most `limit` leading bytes (enough for header parsing, so
+// sph_info never slurps a multi-MB audio payload).
+bool read_prefix(const char* path, long limit, std::vector<uint8_t>* buf) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  buf->resize(static_cast<size_t>(limit));
+  size_t got = std::fread(buf->data(), 1, buf->size(), f);
+  std::fclose(f);
+  if (got < 16) return false;
+  buf->resize(got);
+  return true;
 }
 
 // ---------------------------------------------------------------------------
@@ -197,7 +212,9 @@ int64_t rounded_shift_down(int64_t x, int n) {
 int64_t shorten_decode(const uint8_t* data, size_t len, int16_t* out,
                        int64_t capacity_total, int expect_chan, int64_t want) {
   if (len < 5 || std::memcmp(data, "ajkg", 4) != 0) return SPH_ERR_BITSTREAM;
-  int version = data[4] - '0';
+  // Real shorten streams store a raw binary version byte (0x02); some
+  // tools write the ASCII digit. Accept both.
+  int version = data[4] >= '0' ? data[4] - '0' : data[4];
   if (version < 1 || version > 2) return SPH_ERR_CODING;
   BitReader br(data + 5, data + len);
 
@@ -366,9 +383,14 @@ int64_t shorten_decode(const uint8_t* data, size_t len, int16_t* out,
 int64_t decode_linear(const SphHeader& h, const uint8_t* d, size_t n,
                       int16_t* out, int64_t capacity_total) {
   const bool big = h.byte_format != "01";  // SPHERE default/typical is "10"
+  // sph2pipe decodes exactly sample_count frames; trailing non-audio
+  // bytes (padding/checksums) are ignored rather than being an error.
+  const int64_t declared = h.sample_count > 0
+      ? h.sample_count * h.channels
+      : std::numeric_limits<int64_t>::max();
   int64_t total;
   if (h.sample_n_bytes == 2) {
-    total = static_cast<int64_t>(n / 2);
+    total = std::min<int64_t>(static_cast<int64_t>(n / 2), declared);
     if (total > capacity_total) return SPH_ERR_CAPACITY;
     for (int64_t i = 0; i < total; i++) {
       uint16_t raw = big ? (d[2 * i] << 8) | d[2 * i + 1]
@@ -376,7 +398,7 @@ int64_t decode_linear(const SphHeader& h, const uint8_t* d, size_t n,
       out[i] = static_cast<int16_t>(raw);
     }
   } else if (h.sample_n_bytes == 1) {
-    total = static_cast<int64_t>(n);
+    total = std::min<int64_t>(static_cast<int64_t>(n), declared);
     if (total > capacity_total) return SPH_ERR_CAPACITY;
     if (h.coding.rfind("ulaw", 0) == 0 || h.coding.rfind("mu-law", 0) == 0)
       for (int64_t i = 0; i < total; i++) out[i] = ulaw2linear(d[i]);
@@ -399,7 +421,7 @@ extern "C" {
 int sph_info(const char* path, int32_t* channels, int32_t* rate,
              int64_t* sample_count) {
   std::vector<uint8_t> b;
-  if (!read_file(path, &b)) return SPH_ERR_IO;
+  if (!read_prefix(path, 1 << 20, &b)) return SPH_ERR_IO;
   SphHeader h;
   if (!parse_header(b, &h)) return SPH_ERR_HEADER;
   *channels = h.channels;
@@ -419,10 +441,11 @@ int64_t sph_decode(const char* path, int16_t* out, int64_t capacity_total) {
   const uint8_t* d = b.data() + h.header_bytes;
   const size_t n = b.size() - static_cast<size_t>(h.header_bytes);
 
-  if (h.coding.find("embedded-shorten") != std::string::npos)
+  if (h.coding.find("embedded-shorten") != std::string::npos) {
+    if (h.sample_count <= 0) return SPH_ERR_HEADER;  // length is mandatory
     return shorten_decode(d, n, out, capacity_total, h.channels,
-                          h.sample_count > 0 ? h.sample_count
-                                             : capacity_total / h.channels);
+                          h.sample_count);
+  }
   if (h.coding.rfind("pcm", 0) == 0 || h.coding.rfind("ulaw", 0) == 0 ||
       h.coding.rfind("mu-law", 0) == 0 || h.coding.rfind("alaw", 0) == 0 ||
       h.coding.empty())

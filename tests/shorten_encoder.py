@@ -76,6 +76,7 @@ def encode_shorten_v2(
     bitshift: int = 0,
     verbatim: bytes = b"",
     qlpc_coeffs=(40, -12),
+    ascii_version: bool = False,
 ) -> bytes:
     """Encodes [T] or [T, nchan] integer samples (post-companding codes for
     ulaw/alaw types, offset-binary for U8/U16) into a shorten v2 payload."""
@@ -89,7 +90,10 @@ def encode_shorten_v2(
     nwrap = max(NWRAP, maxnlpc)
 
     w = BitWriter()
-    payload_head = b"ajkg2"
+    # Real shorten writes the raw binary version byte (0x02); some tools
+    # write the ASCII digit. The decoder accepts both; default to the
+    # spec-accurate binary form.
+    payload_head = b"ajkg" + (b"2" if ascii_version else bytes([2]))
     w_head = bytearray(payload_head)
     w.ulong(ftype)
     w.ulong(nchan)

@@ -103,10 +103,17 @@ def test_two_process_dp_allreduce(tmp_path):
         for pid in range(2)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out)
-        assert p.returncode == 0, out[-2000:]
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:  # never leak a hung rank (it holds the port)
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
     results = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]

@@ -301,3 +301,34 @@ def test_recipe_stage0_end_to_end(tmp_path):
             assert len(wavs) == n, (split, sub, wavs)
             audio, sr = read_wav(str(d / wavs[0]))
             assert sr == 8000 and audio.shape[0] > 4000
+
+
+@needs_native
+@pytest.mark.parametrize("ascii_version", [False, True])
+def test_shorten_version_byte_forms(tmp_path, ascii_version):
+    """Real shorten streams carry a binary version byte (0x02); some tools
+    write the ASCII digit '2'. Both must decode (the test encoder's
+    default is the spec-accurate binary form)."""
+    rng = np.random.default_rng(17)
+    x = _speechlike(rng, 600)
+    p = str(tmp_path / "v.wv1")
+    write_sphere_shorten(p, x, 8000, mode="diff1",
+                         ascii_version=ascii_version)
+    raw = open(p, "rb").read()
+    off = raw.index(b"ajkg") + 4
+    assert raw[off] == (ord("2") if ascii_version else 2)
+    pcm, _ = sphio.read_sphere_int16(p)
+    np.testing.assert_array_equal(pcm, x.astype(np.int16))
+
+
+def test_pcm_trailing_padding_ignored(tmp_path):
+    """sph2pipe decodes exactly sample_count frames; trailing checksum or
+    padding bytes after the audio must not error or be decoded as audio."""
+    rng = np.random.default_rng(18)
+    x = rng.integers(-1000, 1000, size=500).astype(np.int16)
+    p = str(tmp_path / "pad.sph")
+    write_sphere(p, x.astype(">i2").tobytes() + b"\x42" * 37,
+                 sample_count=500, sample_rate=8000, coding="pcm")
+    pcm, _ = sphio.read_sphere_int16(p)
+    assert pcm.shape == (500,)
+    np.testing.assert_array_equal(pcm, x)

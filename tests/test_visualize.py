@@ -73,3 +73,17 @@ def test_solver_renders_loss_png(tmp_path):
     solver = Solver(ConvTasNet(cfg), tcfg, tr, cv)
     solver.train()
     assert _is_png(tmp_path / "loss.png")
+
+
+def test_partial_cv_history(tmp_path):
+    """Rows without cv_loss (CV every k epochs, partial histories) must
+    not crash and must keep CV aligned to the epoch axis."""
+    hist = [{"epoch": 1, "tr_loss": 5.0, "cv_loss": 6.0, "lr": 1e-3},
+            {"epoch": 2, "tr_loss": 4.0, "lr": 1e-3},      # no CV this epoch
+            {"epoch": 3, "tr_loss": 3.0, "cv_loss": 3.5}]  # no lr
+    out = str(tmp_path / "p.png")
+    assert plot_history(hist, out) == out and _is_png(out)
+
+
+def test_cli_missing_history(tmp_path):
+    assert viz_main([str(tmp_path)]) == 1

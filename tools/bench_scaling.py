@@ -85,7 +85,13 @@ def main(argv=None):
     n_dev = len(jax.devices())
     if args.max_devices:
         n_dev = min(n_dev, args.max_devices)
-    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    # Powers of two up to n_dev, plus n_dev itself (a 64-chip slice must
+    # include the full-mesh row the BASELINE metric asks for).
+    sizes = [1]
+    while sizes[-1] * 2 <= n_dev:
+        sizes.append(sizes[-1] * 2)
+    if sizes[-1] != n_dev:
+        sizes.append(n_dev)
     results = []
     for dp in sizes:
         devices = jax.devices()[:dp]
@@ -128,7 +134,10 @@ def main(argv=None):
     summary = {
         "metric": "dp_weak_scaling",
         "backend": jax.default_backend(),
-        "virtual_mesh": bool(on_cpu and n_dev > os.cpu_count()),
+        # Virtual when devices are host-platform CPU devices sharing one
+        # machine's cores (forced or ambient) — per-device rates are then
+        # not hardware numbers.
+        "virtual_mesh": bool(on_cpu),
         "sizes": sizes,
         "efficiency": [r.get("efficiency_vs_1", 1.0) for r in results],
     }
