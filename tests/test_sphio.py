@@ -332,3 +332,35 @@ def test_pcm_trailing_padding_ignored(tmp_path):
     pcm, _ = sphio.read_sphere_int16(p)
     assert pcm.shape == (500,)
     np.testing.assert_array_equal(pcm, x)
+
+
+@needs_native
+def test_decoder_survives_fuzzed_bitstreams(tmp_path):
+    """Random garbage after a valid shorten magic must produce a clean
+    error (or a short decode), never a hang or crash — the native decoder
+    guards its loops (runaway uvar, oversized blocksize/nlpc, EOF)."""
+    rng = np.random.default_rng(99)
+    for trial in range(50):
+        body = b"ajkg" + bytes([2]) + rng.bytes(int(rng.integers(8, 400)))
+        p = str(tmp_path / f"fuzz{trial}.wv1")
+        write_sphere(p, body, sample_count=int(rng.integers(1, 5000)),
+                     sample_rate=8000, coding="pcm,embedded-shorten-v2.00")
+        try:
+            pcm, _ = sphio.read_sphere_int16(p)
+            assert pcm.dtype == np.int16  # short/valid-prefix decode is fine
+        except ValueError:
+            pass  # clean rejection is fine
+
+
+@needs_native
+def test_decoder_survives_fuzzed_headers(tmp_path):
+    rng = np.random.default_rng(100)
+    for trial in range(30):
+        blob = b"NIST_1A\n   1024\n" + rng.bytes(1200)
+        p = str(tmp_path / f"h{trial}.sph")
+        with open(p, "wb") as f:
+            f.write(blob)
+        try:
+            sphio.read_sphere_int16(p)
+        except ValueError:
+            pass
