@@ -247,15 +247,20 @@ class Solver:
                 (self.params, self.opt_state, self.state, loss, _gn) = self.train_step(
                     self.params, self.opt_state, self.state, mixture, source, lengths
                 )
-            loss = float(loss)
-            total_loss += loss
+            # Accumulate on device and DON'T sync per step: float(loss)
+            # here would block until the step finishes, serializing host
+            # batch prep with device compute. Deferring the readback lets
+            # JAX's async dispatch overlap them (sync only at print_freq,
+            # checkpoint, and epoch end).
+            total_loss = total_loss + loss
+            last_loss = loss
             total_audio_sec += float(np.sum(np.asarray(batch.lengths))) / self.cfg.sample_rate
             if i % self.cfg.print_freq == 0:
                 elapsed = time.time() - start
                 self.log(
                     f"Epoch {epoch + 1} | Iter {i + 1} | "
-                    f"Average Loss {total_loss / (i + 1):.3f} | "
-                    f"Current Loss {loss:.6f} | "
+                    f"Average Loss {float(total_loss) / (i + 1):.3f} | "
+                    f"Current Loss {float(last_loss):.6f} | "
                     f"{1000 * elapsed / max(i + 1 - skip, 1):.1f} ms/batch"
                 )
             if (not cross_valid and self.cfg.save_every_steps
@@ -263,14 +268,17 @@ class Solver:
                 path = os.path.join(self.cfg.save_folder, "latest.ckpt")
                 self._save(path, epoch, extra={
                     "step_in_epoch": i + 1,
-                    "running_loss": total_loss,
+                    "running_loss": float(total_loss),
                     "running_audio_sec": total_audio_sec,
                 })
         n = i + 1
         if n <= 0:
             return float("nan"), 0.0
+        # One sync for the whole epoch: wait for the device to drain the
+        # async queue so the wall-clock (and audio-s/s) is honest.
+        epoch_loss = float(total_loss)
         audio_sps = total_audio_sec / max(time.time() - start, 1e-9)
-        return total_loss / n, audio_sps
+        return epoch_loss / n, audio_sps
 
     # ------------------------------------------------------------------
     def _save(self, path: str, epoch: int, extra: Optional[dict] = None) -> None:
