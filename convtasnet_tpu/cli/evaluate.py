@@ -59,11 +59,22 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     total_sisnri = 0.0
     total_sdri = 0.0
     count = 0
-    for batch in loader:
-        reordered = np.asarray(
-            infer(jnp.asarray(batch.mixture), jnp.asarray(batch.source),
-                  jnp.asarray(batch.lengths))
-        )
+
+    def batches_with_async_infer():
+        """One-deep pipeline: dispatch batch i+1's inference (async) before
+        the host computes batch i's metrics, hiding device time and the
+        device->host transfer behind the numpy metric work."""
+        pending = None
+        for batch in loader:
+            fut = infer(jnp.asarray(batch.mixture), jnp.asarray(batch.source),
+                        jnp.asarray(batch.lengths))
+            if pending is not None:
+                yield pending[0], np.asarray(pending[1])
+            pending = (batch, fut)
+        if pending is not None:
+            yield pending[0], np.asarray(pending[1])
+
+    for batch, reordered in batches_with_async_infer():
         for b in range(batch.mixture.shape[0]):
             n = int(batch.lengths[b])
             mix = batch.mixture[b, :n]

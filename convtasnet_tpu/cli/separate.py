@@ -55,8 +55,20 @@ def separate(args) -> int:
         return est
 
     written = 0
-    for batch in loader:
-        est = np.asarray(infer(jnp.asarray(batch.mixture)))  # [B, C, T]
+
+    def batches_with_async_infer():
+        # One-deep pipeline: next batch's forward overlaps this batch's
+        # wav encoding + disk writes (see evaluate.py).
+        pending = None
+        for batch in loader:
+            fut = infer(jnp.asarray(batch.mixture))
+            if pending is not None:
+                yield pending[0], np.asarray(pending[1])
+            pending = (batch, fut)
+        if pending is not None:
+            yield pending[0], np.asarray(pending[1])
+
+    for batch, est in batches_with_async_infer():  # est: [B, C, T]
         for b, filename in enumerate(batch.filenames):
             n = int(batch.lengths[b])
             base = os.path.basename(filename)
