@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
 def evaluate(args, log: Callable[[str], None] = print) -> dict:
     import jax
 
+    from ..utils.observability import enable_compilation_cache
+    enable_compilation_cache()
+
     cfg, params, state = load_model(args.model_path)
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,

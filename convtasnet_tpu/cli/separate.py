@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
 def separate(args) -> int:
     import jax
 
+    from ..utils.observability import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.mix_dir is None and args.mix_json is None:
         raise SystemExit("Must provide mix_dir or mix_json! When providing "
                          "mix_dir, mix_json is ignored.")

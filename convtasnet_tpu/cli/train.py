@@ -80,6 +80,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     print(args)
 
+    from ..utils.observability import enable_compilation_cache
+    enable_compilation_cache()
+
     model_cfg = ConvTasNetConfig(
         N=args.N, L=args.L, B=args.B, H=args.H, P=args.P, X=args.X, R=args.R,
         C=args.C, norm_type=args.norm_type, causal=bool(args.causal),

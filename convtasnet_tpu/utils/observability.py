@@ -84,3 +84,27 @@ class StepTimer:
     def mean_ms(self) -> float:
         xs = self.times[self.skip_first:] or self.times
         return 1000 * sum(xs) / max(len(xs), 1)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Turn on JAX's persistent compilation cache (all CLIs call this).
+
+    On this hardware a cold paper-config train-step compile takes minutes
+    through the remote-compile tunnel; the cache makes every later process
+    (recipe stages, eval re-runs, resumed training) reuse it. Opt out with
+    CONVTASNET_COMPILE_CACHE=0; override the location by setting that var
+    to a path. Returns the directory used, or None when disabled."""
+    import jax
+
+    env = os.environ.get("CONVTASNET_COMPILE_CACHE")
+    if env == "0":
+        return None
+    path = cache_dir or env or os.path.join(
+        os.path.expanduser("~"), ".cache", "convtasnet_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        return None
+    return path

@@ -68,3 +68,18 @@ def test_bench_streaming_tiny():
     rows = streaming_main(["--tiny", "--chunks_ms", "20", "--steps", "3"])
     assert len(rows) == 1
     assert rows[0]["latency_ms"] > 0 and rows[0]["rtf"] > 0
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    from convtasnet_tpu.utils.observability import enable_compilation_cache
+
+    # Disabled by env
+    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", "0")
+    assert enable_compilation_cache() is None
+    # Env-pointed directory is created and configured
+    cache = str(tmp_path / "xla")
+    monkeypatch.setenv("CONVTASNET_COMPILE_CACHE", cache)
+    import jax
+    assert enable_compilation_cache() == cache
+    assert os.path.isdir(cache)
+    assert jax.config.jax_compilation_cache_dir == cache
