@@ -20,6 +20,18 @@ import sys
 import time
 
 import jax
+
+def _cache():
+    try:
+        import sys as _s, os as _o
+        _s.path.insert(0, _o.path.dirname(_o.path.abspath(__file__)))
+        from convtasnet_tpu.utils.observability import enable_compilation_cache
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+
+_cache()
 import jax.numpy as jnp
 import numpy as np
 
