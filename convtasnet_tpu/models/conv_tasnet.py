@@ -207,13 +207,32 @@ def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
     overlap the surrounding matmuls), so use_pallas=True enables the
     kernels for inference only and use_pallas="always" forces them in
     training too."""
-    if not cfg.use_pallas or cfg.norm_type == "BN" or bstate is not None:
+    if not cfg.use_pallas or cfg.use_pallas == "whole":
+        return False
+    if cfg.norm_type == "BN" or bstate is not None:
         return False
     if train and cfg.use_pallas != "always":
         return False
     K = x.shape[1]
     slab = K * cfg.H * cfg.dtype.itemsize
     return 3 * slab <= 12 * 1024 * 1024
+
+
+def _use_fused_whole(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
+                     train: bool = False) -> bool:
+    """Whole-block kernel (both 1x1 matmuls inside; fused_whole_block.py):
+    inference-only, stateless norms, and the x/conv/two-pass slabs plus
+    weights must fit VMEM."""
+    if cfg.use_pallas != "whole" or train:
+        return False
+    if cfg.norm_type == "BN" or bstate is not None:
+        return False
+    K = -(-x.shape[1] // 128) * 128
+    it = cfg.dtype.itemsize
+    span = (cfg.P - 1) * 2 ** (cfg.X - 1)
+    need = (2 * K * cfg.B + (K + 2 * span) * cfg.H + K * cfg.H
+            + 2 * cfg.B * cfg.H) * it
+    return need <= 13 * 1024 * 1024
 
 
 def separate(
@@ -245,7 +264,10 @@ def separate(
     # (not per block — each per-block pad/slice would cost a full HBM copy)
     # and run every block's kernel with exact stats over the true K frames.
     fused_valid_k = None
-    if axis_name is None and _use_fused_mid(cfg, block_state, x, train):
+    fused_whole = False
+    if axis_name is None and (_use_fused_mid(cfg, block_state, x, train)
+                              or _use_fused_whole(cfg, block_state, x, train)):
+        fused_whole = _use_fused_whole(cfg, block_state, x, train)
         fused_valid_k = K
         K_pad = -(-K // 128) * 128
         if K_pad != K:
@@ -258,6 +280,18 @@ def separate(
         for xi in range(cfg.X):
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
+            if fused_whole:
+                from ..ops.pallas.fused_whole_block import whole_block_pallas
+
+                x = whole_block_pallas(
+                    x, bp["in_w"], bp["in_prelu"], bp["in_gamma"],
+                    bp["in_beta"], bp["dw_w"], bp["dw_prelu"],
+                    bp["dw_gamma"], bp["dw_beta"], bp["out_w"],
+                    cfg.norm_type, 2**xi, cfg.causal,
+                    jax.default_backend() == "cpu",
+                    fused_valid_k if fused_valid_k != x.shape[1] else None,
+                )
+                continue
             blk = _temporal_block
             if cfg.remat == "block":
                 blk = jax.checkpoint(
