@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--cv_maxlen", default=1e9, type=float)
+    p.add_argument("--use_pallas", default="whole", type=str,
+                   help="inference kernel path: whole (fastest, default), "
+                        "1/true (mid-chain), 0/false (pure XLA), keep "
+                        "(whatever the checkpoint was trained with)")
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad utterances to a sample multiple so XLA compiles "
                         "a bounded set of shapes instead of one per length "
@@ -44,6 +48,12 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     enable_compilation_cache()
 
     cfg, params, state = load_model(args.model_path)
+    if args.use_pallas != "keep":
+        # Kernel choice is a runtime decision, not a model property.
+        up = {"0": False, "false": False, "1": True, "true": True,
+              "whole": "whole", "always": "always"}[args.use_pallas.lower()]
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, use_pallas=up)
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,
         segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=cfg.C,
