@@ -29,10 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--cv_maxlen", default=1e9, type=float)
-    p.add_argument("--use_pallas", default="whole", type=str,
-                   help="inference kernel path: whole (fastest, default), "
-                        "1/true (mid-chain), 0/false (pure XLA), keep "
-                        "(whatever the checkpoint was trained with)")
+    from .common import add_use_pallas_flag
+    add_use_pallas_flag(p)
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad utterances to a sample multiple so XLA compiles "
                         "a bounded set of shapes instead of one per length "
@@ -47,13 +45,10 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     from ..utils.observability import enable_compilation_cache
     enable_compilation_cache()
 
+    from .common import apply_use_pallas
+
     cfg, params, state = load_model(args.model_path)
-    if args.use_pallas != "keep":
-        # Kernel choice is a runtime decision, not a model property.
-        up = {"0": False, "false": False, "1": True, "true": True,
-              "whole": "whole", "always": "always"}[args.use_pallas.lower()]
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, use_pallas=up)
+    cfg = apply_use_pallas(cfg, args.use_pallas)
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,
         segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=cfg.C,

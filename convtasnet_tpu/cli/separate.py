@@ -26,10 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out_dir", type=str, default="exp/result")
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
-    p.add_argument("--use_pallas", default="whole", type=str,
-                   help="inference kernel path: whole (fastest, default), "
-                        "1/true (mid-chain), 0/false (pure XLA), keep "
-                        "(whatever the checkpoint was trained with)")
+    from .common import add_use_pallas_flag
+    add_use_pallas_flag(p)
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad mixtures to a sample multiple to bound the "
                         "number of compiled shapes")
@@ -46,13 +44,10 @@ def separate(args) -> int:
         raise SystemExit("Must provide mix_dir or mix_json! When providing "
                          "mix_dir, mix_json is ignored.")
 
+    from .common import apply_use_pallas
+
     cfg, params, state = load_model(args.model_path)
-    if args.use_pallas != "keep":
-        # Kernel choice is a runtime decision, not a model property.
-        up = {"0": False, "false": False, "1": True, "true": True,
-              "whole": "whole", "always": "always"}[args.use_pallas.lower()]
-        import dataclasses as _dc
-        cfg = _dc.replace(cfg, use_pallas=up)
+    cfg = apply_use_pallas(cfg, args.use_pallas)
     dataset = EvalDataset(args.mix_dir, args.mix_json,
                           batch_size=args.batch_size,
                           sample_rate=args.sample_rate,

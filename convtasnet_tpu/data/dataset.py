@@ -36,7 +36,7 @@ from .wavio import read_wav
 class Batch:
     """One training/eval batch: mixture [B, T], lengths [B], sources [B, C, T]."""
 
-    __slots__ = ("mixture", "lengths", "source", "filenames")
+    __slots__ = ("mixture", "lengths", "source", "filenames", "__weakref__")
 
     def __init__(self, mixture, lengths, source=None, filenames=None):
         self.mixture = mixture
@@ -280,13 +280,18 @@ class DataLoader:
                 for k in range(len(order)):
                     if stop.is_set():
                         for p in pending:
-                            p.cancel()
+                            if p is not None:
+                                p.cancel()
                         return
                     try:
                         q.put(pending[k].result())
                     except Exception as e:  # surface loader errors to consumer
                         q.put(e)
                         return
+                    # Release the completed future: a Future keeps its result
+                    # (a decoded, padded batch) alive, so retaining the whole
+                    # list would pin every batch of the epoch in host memory.
+                    pending[k] = None
                     if next_submit < len(order):
                         pending.append(pool.submit(self.dataset.load_batch, order[next_submit]))
                         next_submit += 1

@@ -81,6 +81,17 @@ def read_sphere_int16(path: str) -> Tuple[np.ndarray, int]:
     channels, rate, sample_count = sphere_info(path)
     lib = _get_lib()
     if lib is not None:
+        if sample_count <= 0:
+            # Header lacks sample_count: for non-compressed codings the
+            # native decoder derives the length from the payload size, so
+            # size the capacity the same way instead of failing with
+            # SPH_ERR_CAPACITY (shorten payloads have no usable bound —
+            # let the decoder report the bitstream error itself).
+            hdr = _parse_header_py(path)
+            if "shorten" not in hdr["sample_coding"]:
+                payload = os.path.getsize(path) - hdr["header_bytes"]
+                sample_count = max(payload // max(hdr["sample_n_bytes"], 1)
+                                   // channels, 0)
         cap = max(sample_count, 1) * channels
         out = np.empty(cap, dtype=np.int16)
         frames = lib.sph_decode(path.encode(), out, cap)

@@ -264,10 +264,11 @@ def separate(
     # (not per block — each per-block pad/slice would cost a full HBM copy)
     # and run every block's kernel with exact stats over the true K frames.
     fused_valid_k = None
-    fused_whole = False
-    if axis_name is None and (_use_fused_mid(cfg, block_state, x, train)
-                              or _use_fused_whole(cfg, block_state, x, train)):
-        fused_whole = _use_fused_whole(cfg, block_state, x, train)
+    fused_whole = (axis_name is None
+                   and _use_fused_whole(cfg, block_state, x, train))
+    fused_mid = (axis_name is None and not fused_whole
+                 and _use_fused_mid(cfg, block_state, x, train))
+    if fused_whole or fused_mid:
         fused_valid_k = K
         K_pad = -(-K // 128) * 128
         if K_pad != K:

@@ -94,7 +94,7 @@ def si_snr_with_pit(
     """Max-permutation SI-SNR per utterance.
 
     Args:
-      source: [B, C, T] targets, zero beyond lengths.
+      source: [B, C, T] targets (padding beyond lengths is masked off).
       estimate: [B, C, T] model output.
       lengths: [B] valid sample counts.
       method: "direct" (reference-order arithmetic, default — fastest
@@ -106,6 +106,10 @@ def si_snr_with_pit(
     source = source.astype(jnp.float32)
     estimate = estimate.astype(jnp.float32)
     mask = length_mask(lengths, T)  # [B, 1, T]
+    # Mask BOTH tensors like the reference (pit_criterion.py:37-48) so the
+    # loss is correct even for callers whose targets carry non-zero padding
+    # (this repo's pipeline zero-pads, but the API shouldn't rely on it).
+    source = source * mask
     estimate = estimate * mask
 
     n = lengths.astype(jnp.float32)[:, None, None]

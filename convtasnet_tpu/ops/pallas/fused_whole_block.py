@@ -210,9 +210,12 @@ def whole_block_pallas(x, in_w, alpha1, gamma1, beta1, w, alpha2, gamma2,
     import os as _os
 
     want_tk = min(512, int(_os.environ.get("CONVTASNET_WHOLE_TK", "128")))
-    TK = min(max(want_tk, 128), K_pad)
+    # K_pad is always 128-aligned: round the request down to a 128 multiple
+    # and step down by 128s until it divides K_pad (terminates at 128),
+    # instead of halving to a degenerate tile (e.g. 384 with K_pad=512 -> 1).
+    TK = min(max(want_tk // 128 * 128, 128), K_pad)
     while K_pad % TK:
-        TK //= 2
+        TK -= 128
     kernel = partial(_block_kernel, norm_type=norm_type, dilation=dilation,
                      causal=causal, P=P, K=K, K_pad=K_pad, B=B, H=H, TK=TK)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)

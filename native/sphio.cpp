@@ -262,6 +262,10 @@ int64_t shorten_decode(const uint8_t* data, size_t len, int16_t* out,
 
     switch (fn) {
       case FN_BLOCKSIZE: {
+        // Blocksize changes are only valid at round boundaries: mid-round
+        // (after some channels of this round decoded) the reallocation
+        // below would silently discard their already-decoded samples.
+        if (chan != 0) return SPH_ERR_BITSTREAM;
         int64_t nb = br.ulong_();
         if (nb <= 0 || nb > (1 << 20)) return SPH_ERR_BITSTREAM;
         blocksize = nb;

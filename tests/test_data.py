@@ -142,3 +142,26 @@ def test_eval_dataset_pad_to_multiple(tmp_path):
         assert b.mixture.shape[1] >= int(b.lengths.max())
         shapes.add(b.mixture.shape[1])
     assert shapes == {4000, 8000}
+
+
+def test_loader_releases_completed_batches(wav_root):
+    """The producer must not retain completed futures: at any point at most
+    prefetch+queue batches may be alive, not the whole epoch (the round-1
+    future-retention leak)."""
+    import gc
+    import weakref
+
+    ds = AudioDataset(os.path.join(wav_root, "tr"), batch_size=2,
+                      sample_rate=8000, segment=1.0)
+    loader = DataLoader(ds, num_workers=1, prefetch=1)
+    refs = []
+    for batch in loader:
+        refs.append(weakref.ref(batch))
+        del batch
+        gc.collect()
+        # Everything the consumer has dropped except a small prefetch window
+        # must be collectable.
+        alive = sum(1 for r in refs if r() is not None)
+        assert alive <= 1 + loader.prefetch + 2, f"{alive} batches retained"
+    gc.collect()
+    assert all(r() is None for r in refs)

@@ -142,3 +142,26 @@ def test_gram_high_snr_stable():
     assert np.all(np.isfinite(np.asarray(snr)))
     assert np.all(np.asarray(snr) > 40.0)
     np.testing.assert_array_equal(np.asarray(perm), [[0, 1], [0, 1]])
+
+
+def test_source_padding_masked():
+    """The loss must mask the TARGETS too (pit_criterion.py:37-48): garbage
+    in source beyond lengths must not change loss, perm, or reorder."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(11)
+    B, C, T = 3, 2, 900
+    src = rng.normal(size=(B, C, T)).astype(np.float32)
+    est = rng.normal(size=(B, C, T)).astype(np.float32)
+    lengths = np.array([900, 640, 512], np.int32)
+    for b in range(B):
+        src[b, :, lengths[b]:] = 0
+    loss0, snr0, _, re0 = cal_loss(jnp.asarray(src), jnp.asarray(est),
+                                   jnp.asarray(lengths))
+    dirty = src.copy()
+    for b in range(B):
+        dirty[b, :, lengths[b]:] = 37.0  # non-zero padding
+    loss1, snr1, _, re1 = cal_loss(jnp.asarray(dirty), jnp.asarray(est),
+                                   jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(loss0), np.asarray(loss1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(snr0), np.asarray(snr1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(re0), np.asarray(re1), rtol=1e-6)
