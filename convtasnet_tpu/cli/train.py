@@ -71,8 +71,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dp", default=0, type=int,
                    help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
+    p.add_argument("--cp", default=1, type=int,
+                   help="context-parallel size: shard the frame axis over "
+                        "a ('data','context') mesh for long sequences "
+                        "(gLN/cLN only; incompatible with --tp)")
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad CV batches to a multiple to bound distinct XLA shapes")
+    # Multi-host (TPU pods / multi-process CPU simulation). All three fall
+    # back to COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID env vars; on
+    # pods with standard TPU env, --multihost 1 alone autodetects.
+    p.add_argument("--multihost", default=0, type=int,
+                   help="initialize jax.distributed before building the mesh")
+    p.add_argument("--coordinator_address", default=None, type=str)
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     return p
 
 
@@ -82,6 +94,16 @@ def main(argv=None):
 
     from ..utils.observability import enable_compilation_cache
     enable_compilation_cache()
+
+    # Multi-host: join the process group BEFORE any device query so the
+    # mesh below spans every host's chips (the reference's multi-device
+    # story was train.py:121's single-process DataParallel; pods need this).
+    multihost = bool(args.multihost) or args.coordinator_address is not None
+    if multihost:
+        from ..parallel import distributed
+
+        distributed.initialize(args.coordinator_address, args.num_processes,
+                               args.process_id)
 
     model_cfg = ConvTasNetConfig(
         N=args.N, L=args.L, B=args.B, H=args.H, P=args.P, X=args.X, R=args.R,
@@ -102,7 +124,7 @@ def main(argv=None):
         checkpoint=bool(args.checkpoint), continue_from=args.continue_from,
         save_every_steps=args.save_every_steps,
         model_path=args.model_path, print_freq=args.print_freq, seed=args.seed,
-        dp=args.dp, tp=args.tp, visualize=bool(args.visualize),
+        dp=args.dp, tp=args.tp, cp=args.cp, visualize=bool(args.visualize),
     )
 
     tr_dataset = AudioDataset(
@@ -121,13 +143,46 @@ def main(argv=None):
     model = ConvTasNet(model_cfg)
 
     shard_batch = shard_params = None
-    if args.dp != 1 or args.tp != 1:
-        from ..parallel.mesh import make_sharders
+    train_step = eval_step = None
+    if args.cp > 1:
+        if args.tp > 1:
+            raise SystemExit("--cp is incompatible with --tp (TP relies on "
+                             "GSPMD auto-sharding; CP runs under shard_map)")
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
 
-        shard_batch, shard_params = make_sharders(dp=args.dp, tp=args.tp)
+        from ..parallel.context import make_cp_eval_step, make_cp_train_step
+
+        devices = jax.devices()
+        dp = args.dp if args.dp > 0 else max(1, len(devices) // args.cp)
+        if dp * args.cp > len(devices):
+            raise SystemExit(f"dp*cp={dp * args.cp} exceeds {len(devices)} devices")
+        mesh = Mesh(np.array(devices[: dp * args.cp]).reshape(dp, args.cp),
+                    ("data", "context"))
+        batch_axis = "data" if dp > 1 else None
+        train_step = lambda opt: make_cp_train_step(  # noqa: E731
+            model_cfg, opt, mesh, train_cfg.max_norm, batch_axis=batch_axis)
+        eval_step = make_cp_eval_step(model_cfg, mesh, batch_axis=batch_axis)
+        if multihost:
+            from ..parallel.distributed import shard_batch_fn_multihost
+
+            shard_batch = shard_batch_fn_multihost(mesh)
+    elif args.dp != 1 or args.tp != 1 or multihost:
+        from ..parallel.mesh import make_mesh, shard_batch_fn, shard_params_fn
+
+        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        shard_params = shard_params_fn(mesh, args.tp)
+        if multihost:
+            from ..parallel.distributed import shard_batch_fn_multihost
+
+            shard_batch = shard_batch_fn_multihost(mesh)
+        else:
+            shard_batch = shard_batch_fn(mesh)
 
     solver = Solver(model, train_cfg, tr_loader, cv_loader,
-                    shard_batch=shard_batch, shard_params=shard_params)
+                    shard_batch=shard_batch, shard_params=shard_params,
+                    train_step=train_step, eval_step=eval_step)
     return solver.train()
 
 

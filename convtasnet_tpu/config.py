@@ -128,7 +128,8 @@ class TrainConfig:
     visualize: bool = False
     # Parallelism (TPU-native; no reference analogue)
     dp: int = 1  # data-parallel mesh size
-    tp: int = 1  # tensor-parallel (shard H / C*N channels)
+    tp: int = 1  # tensor-parallel (shard N / H / C*N channels)
+    cp: int = 1  # context-parallel (shard the frame axis; gLN/cLN only)
 
 
 @dataclasses.dataclass(frozen=True)

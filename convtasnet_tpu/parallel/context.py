@@ -14,14 +14,22 @@ shard_map with
     the last shard's (otherwise unconsumed) tail reconstructs the final
     T_conv = K*S + (L-S) samples bit-for-bit like the unsharded decoder.
 
-Constraint (this round): K must divide the context axis evenly and local
-K_loc must cover the largest halo span (P-1)*2**(X-1).
+Inputs are padded INTERNALLY so the frame count divides the context axis
+and each shard covers the largest halo span (P-1)*2**(X-1) — callers never
+see a shape constraint. Like batch-max padding, gLN statistics include the
+padded frames (see docs/parity.md); parity tests compare against the
+single-device forward on the same padded signal.
+
+The whole path is differentiable: shard_map transposes ppermute/psum, so
+`make_cp_train_step` trains with the frame axis sharded — halo-exchange
+gradients and gLN stat all-reduces flow through the backward pass
+(gradient-parity-tested vs single device in tests/test_context.py).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +42,15 @@ from ..ops.framing import frame_signal, overlap_and_add
 
 def cp_num_frames(cfg: ConvTasNetConfig, T: int) -> int:
     return cfg.num_frames(T)
+
+
+def cp_padded_frames(cfg: ConvTasNetConfig, T: int, n: int) -> int:
+    """Frame count after internal CP padding: the smallest multiple of n
+    that covers T's frames AND gives every shard at least the largest halo
+    span (single-neighbor exchange needs K_loc >= (P-1)*2**(X-1))."""
+    span = (cfg.P - 1) * 2 ** (cfg.X - 1)
+    K = max(cfg.num_frames(max(T, cfg.L)), 1)
+    return n * max(-(-K // n), span)
 
 
 def _cp_shard_body(frames, params, state, cfg: ConvTasNetConfig, train: bool,
@@ -78,26 +95,37 @@ def cp_forward(
     mesh: Mesh,
     axis: str = "context",
     train: bool = False,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Context-parallel forward: [M, T] -> [M, C, T] float32.
 
-    Numerically equivalent to models.conv_tasnet.forward (up to float
-    reduction order). Requires K % mesh.shape[axis] == 0.
+    The signal is padded internally so no shape constraint leaks to the
+    caller; gLN statistics include the padded frames exactly like batch-max
+    padding does (docs/parity.md). Numerically equivalent to
+    models.conv_tasnet.forward on the padded signal (up to float reduction
+    order). batch_axis additionally shards the batch dim (DP x CP meshes).
+    BN is unsupported under CP (cross-shard running stats; documented in
+    docs/parallelism.md).
     """
+    if cfg.norm_type == "BN":
+        raise ValueError("BN is unsupported under context parallelism "
+                         "(see docs/parallelism.md support matrix)")
     n = mesh.shape[axis]
-    T = mixture.shape[-1]
-    K = cfg.num_frames(T)
-    if K % n != 0:
-        raise ValueError(
-            f"CP requires K % n_shards == 0 (K={K}, n={n}); pad the input "
-            f"so (T-L)/(L/2)+1 is a multiple of {n}"
-        )
-    span = (cfg.P - 1) * 2 ** (cfg.X - 1)
-    if K // n < span:
-        raise ValueError(
-            f"local frames {K//n} < max halo span {span}; use fewer shards"
-        )
-    frames = frame_signal(mixture, cfg.L, cfg.stride)  # [M, K, L]
+    M, T = mixture.shape
+    if batch_axis is not None:
+        # Pad the batch dim up to the data axis (rows are independent —
+        # every normalization is per-element — so zero rows are harmless
+        # and sliced off below). Unlike the replicate-fallback of the pjit
+        # DP path, sharded eval keeps its speedup at any batch size.
+        dpn = mesh.shape[batch_axis]
+        M_pad = -(-M // dpn) * dpn
+        if M_pad != M:
+            mixture = jnp.pad(mixture, ((0, M_pad - M), (0, 0)))
+    K_pad = cp_padded_frames(cfg, T, n)
+    T_need = (K_pad - 1) * cfg.stride + cfg.L
+    if T_need > T:
+        mixture = jnp.pad(mixture, ((0, 0), (0, T_need - T)))
+    frames = frame_signal(mixture[..., :T_need], cfg.L, cfg.stride)  # [M, K_pad, L]
 
     from jax import shard_map
 
@@ -105,15 +133,69 @@ def cp_forward(
     sharded = shard_map(
         body_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P(), P()),
-        out_specs=(P(None, None, axis), P(None, None, axis)),
+        in_specs=(P(batch_axis, axis, None), P(), P()),
+        out_specs=(P(batch_axis, None, axis), P(batch_axis, None, axis)),
         check_vma=False,
     )
     body, tails = sharded(frames, params, state)
-    # body: [M, C, K*S] globally; tails: [M, C, n*(L-S)] — only the last
-    # shard's tail is unconsumed and extends the signal to T_conv.
+    # body: [M, C, K_pad*S] globally; tails: [M, C, n*(L-S)] — only the
+    # last shard's tail is unconsumed and extends the signal to T_conv.
     last_tail = tails[..., (n - 1) * (cfg.L - cfg.stride):]
     est = jnp.concatenate([body, last_tail], axis=-1)
     if est.shape[-1] < T:
         est = jnp.pad(est, ((0, 0), (0, 0), (0, T - est.shape[-1])))
-    return est[..., :T]
+    return est[:M, :, :T]
+
+
+def make_cp_train_step(
+    cfg: ConvTasNetConfig,
+    opt,
+    mesh: Mesh,
+    max_norm: float,
+    axis: str = "context",
+    batch_axis: Optional[str] = None,
+) -> Callable:
+    """Jitted CP train step matching make_train_step's signature: the
+    forward runs under shard_map with the frame axis sharded; the loss and
+    optimizer update run on the gathered [M, C, T] estimates (waveform-
+    sized, small next to the sharded TCN activations). Gradients flow
+    through the halo exchanges / psums (shard_map transposes them); the
+    replicated-params in_spec transposes to the gradient all-reduce.
+
+    SURVEY §2 CP row + §5 long-context: this is the training path the
+    reference lacks entirely (it bounds length via cv_maxlen instead)."""
+    from ..ops.loss import cal_loss
+    from ..training.optim import clip_by_global_norm
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def step(params, opt_state, state, mixture, source, lengths):
+        def loss_fn(p):
+            est = cp_forward(p, state, cfg, mixture, mesh, axis, train=True,
+                             batch_axis=batch_axis)
+            loss, *_ = cal_loss(source, est, lengths)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads, grad_norm = clip_by_global_norm(grads, max_norm)
+        params, opt_state = opt.update(grads, opt_state, params)
+        return params, opt_state, state, loss, grad_norm
+
+    return step
+
+
+def make_cp_eval_step(
+    cfg: ConvTasNetConfig,
+    mesh: Mesh,
+    axis: str = "context",
+    batch_axis: Optional[str] = None,
+) -> Callable:
+    from ..ops.loss import cal_loss
+
+    @jax.jit
+    def step(params, state, mixture, source, lengths):
+        est = cp_forward(params, state, cfg, mixture, mesh, axis,
+                         train=False, batch_axis=batch_axis)
+        loss, *_ = cal_loss(source, est, lengths)
+        return loss
+
+    return step

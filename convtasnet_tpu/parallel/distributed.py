@@ -63,3 +63,31 @@ def global_batch_from_local(mesh: Mesh, local_batch: np.ndarray,
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def shard_batch_fn_multihost(mesh: Mesh):
+    """Multi-process analogue of mesh.shard_batch_fn for the Solver.
+
+    Every process loads the SAME global batch (the loader's order is a pure
+    function of (seed, epoch), so ranks agree without communication) and
+    contributes its contiguous row slice via make_array_from_process_local_
+    data. Batches indivisible by the data axis or process count fall back
+    to replication, mirroring the single-process sharder."""
+    dp = mesh.shape["data"]
+
+    def shard(mixture, lengths, source):
+        nproc = jax.process_count()
+        rank = jax.process_index()
+        arrays = [np.asarray(mixture), np.asarray(lengths),
+                  np.asarray(source) if source is not None else None]
+        b = arrays[0].shape[0]
+        if b % dp == 0 and b % nproc == 0:
+            lo, hi = rank * b // nproc, (rank + 1) * b // nproc
+            out = [global_batch_from_local(mesh, a[lo:hi], P("data"))
+                   if a is not None else None for a in arrays]
+        else:
+            out = [global_batch_from_local(mesh, a, P())
+                   if a is not None else None for a in arrays]
+        return tuple(out)
+
+    return shard

@@ -45,7 +45,21 @@ def make_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
 # Parameter partition rules: leaf-path substring -> PartitionSpec.
 # Stacked block leaves are [R, X, ...]; the H axis is last for in_w /
 # gamma / beta / dw_w and axis 2 for out_w ([R, X, H, B]).
+#
+# All four big matmuls are sharded (SURVEY §2: "shard H (and C*N mask
+# channels)"), keeping the residual-stream activations [M, K, B]
+# replicated over 'model':
+#   bottleneck [N, B]: contraction dim N sharded (row-parallel, one psum)
+#   in_w [B, H]:       output H sharded (column-parallel, no collective)
+#   dw_w/norms [.., H]: per-channel, follow H — no collective
+#   out_w [H, B]:      contraction H sharded (row-parallel, one psum) —
+#                      the Megatron pair with in_w: one psum per block
+#   mask [B, C*N]:     output channels sharded (column-parallel); the
+#                      [M, K, C*N] mask stays channel-sharded through
+#                      relu/softmax and the decoder basis matmul, whose
+#                      N-contraction emits the final psum
 _TP_RULES = [
+    ("bottleneck/w", P("model", None)),
     ("blocks/in_w", P(None, None, None, "model")),
     ("blocks/in_gamma", P(None, None, "model")),
     ("blocks/in_beta", P(None, None, "model")),
@@ -53,6 +67,7 @@ _TP_RULES = [
     ("blocks/dw_gamma", P(None, None, "model")),
     ("blocks/dw_beta", P(None, None, "model")),
     ("blocks/out_w", P(None, None, "model", None)),
+    ("mask/w", P(None, "model")),
 ]
 
 

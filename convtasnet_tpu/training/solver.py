@@ -75,6 +75,8 @@ class Solver:
         shard_params: Optional[Callable] = None,
         log: Optional[Callable[[str], None]] = None,
         metric_logger=None,
+        train_step: Optional[Callable] = None,
+        eval_step: Optional[Callable] = None,
     ):
         self.model = model
         self.cfg = train_cfg
@@ -124,8 +126,14 @@ class Solver:
             params, state, opt_state = shard_params(params, state, opt_state)
         self.params, self.state, self.opt_state = params, state, opt_state
 
-        self.train_step = make_train_step(model, self.opt, train_cfg.max_norm)
-        self.eval_step = make_eval_step(model)
+        # An injected step factory overrides the default (e.g. a context-
+        # parallel step via parallel.context.make_cp_train_step); it
+        # receives the Optimizer built here and must return a step with
+        # make_train_step's signature.
+        self.train_step = (train_step(self.opt) if train_step is not None
+                           else make_train_step(model, self.opt,
+                                                train_cfg.max_norm))
+        self.eval_step = eval_step or make_eval_step(model)
 
         if not train_cfg.continue_from:
             self.resume_step = 0
@@ -282,6 +290,10 @@ class Solver:
 
     # ------------------------------------------------------------------
     def _save(self, path: str, epoch: int, extra: Optional[dict] = None) -> None:
+        # Multi-host: only the coordinator writes (params are replicated
+        # across processes under DP, so device_get is local and identical).
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         save_checkpoint(
             path,
             self.model.cfg,

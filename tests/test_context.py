@@ -1,4 +1,4 @@
-"""Context-parallel (frame-axis sharded) forward parity tests."""
+"""Context-parallel (frame-axis sharded) forward + training parity tests."""
 
 import jax
 import jax.numpy as jnp
@@ -8,13 +8,21 @@ from jax.sharding import Mesh
 
 from convtasnet_tpu.config import ConvTasNetConfig
 from convtasnet_tpu.models.conv_tasnet import forward, init_params
-from convtasnet_tpu.parallel.context import cp_forward
+from convtasnet_tpu.parallel.context import (
+    cp_forward,
+    cp_padded_frames,
+    make_cp_train_step,
+)
+from convtasnet_tpu.training.optim import Optimizer, clip_by_global_norm
 
 TINY = dict(N=8, L=4, B=8, H=16, P=3, X=3, R=2, C=2, compute_dtype="float32")
 
 
-def _mesh(n):
-    return Mesh(np.array(jax.devices()[:n]), ("context",))
+def _mesh(n, axes=("context",)):
+    devs = np.array(jax.devices()[: n]).reshape(
+        tuple(n if a == "context" else 1 for a in axes)
+        if len(axes) > 1 else (n,))
+    return Mesh(devs, axes)
 
 
 def _input_for_k(cfg, K):
@@ -43,17 +51,155 @@ def test_cp_eight_shards():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-4, atol=1e-5)
 
 
-def test_cp_rejects_indivisible_k():
+def test_cp_pads_indivisible_k_internally():
+    """K=63 over 4 shards: padded to 64 internally; parity against the
+    single-device forward on the identically padded signal (gLN statistics
+    include the pad, like batch-max padding — docs/parity.md)."""
     cfg = ConvTasNetConfig(**TINY)
     params, state = init_params(jax.random.key(2), cfg)
     mix = _input_for_k(cfg, K=63)
-    with pytest.raises(ValueError, match="K % n_shards"):
+    T = mix.shape[-1]
+    K_pad = cp_padded_frames(cfg, T, 4)
+    assert K_pad == 64
+    T_pad = (K_pad - 1) * cfg.stride + cfg.L
+    ref, _ = forward(params, state, cfg,
+                     jnp.pad(mix, ((0, 0), (0, T_pad - T))))
+    got = cp_forward(params, state, cfg, mix, _mesh(4))
+    assert got.shape[-1] == T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref)[..., :T],
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_cp_pads_small_shards_internally():
+    """Shards below the halo span are padded up instead of rejected."""
+    cfg = ConvTasNetConfig(**{**TINY, "X": 5})  # span = 2*16 = 32 frames
+    params, state = init_params(jax.random.key(3), cfg)
+    mix = _input_for_k(cfg, K=64)  # 8 frames/shard < 32 halo -> pad to 32
+    T = mix.shape[-1]
+    K_pad = cp_padded_frames(cfg, T, 8)
+    assert K_pad == 8 * 32
+    T_pad = (K_pad - 1) * cfg.stride + cfg.L
+    ref, _ = forward(params, state, cfg,
+                     jnp.pad(mix, ((0, 0), (0, T_pad - T))))
+    got = cp_forward(params, state, cfg, mix, _mesh(8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref)[..., :T],
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_cp_rejects_bn():
+    cfg = ConvTasNetConfig(**{**TINY, "norm_type": "BN"})
+    params, state = init_params(jax.random.key(4), cfg)
+    mix = _input_for_k(cfg, K=64)
+    with pytest.raises(ValueError, match="BN"):
         cp_forward(params, state, cfg, mix, _mesh(4))
 
 
-def test_cp_rejects_small_shards():
-    cfg = ConvTasNetConfig(**{**TINY, "X": 5})  # span = 2*16 = 32 frames
-    params, state = init_params(jax.random.key(3), cfg)
-    mix = _input_for_k(cfg, K=64)  # 8 frames/shard < 32 halo
-    with pytest.raises(ValueError, match="halo span"):
-        cp_forward(params, state, cfg, mix, _mesh(8))
+def _grads_single_device(cfg, params, state, mix, src, lengths):
+    """Reference gradients: plain forward on the CP-padded signal."""
+    from convtasnet_tpu.ops.loss import cal_loss
+
+    def loss_fn(p):
+        est, _ = forward(p, state, cfg, mix, train=True)
+        est = est[..., : src.shape[-1]]
+        loss, *_ = cal_loss(src, est, lengths)
+        return loss
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+@pytest.mark.parametrize("norm_type,causal", [("gLN", False), ("cLN", True)])
+def test_cp_gradient_parity(norm_type, causal):
+    """d(loss)/d(params) through the sharded forward (halo-exchange and
+    psum transposes) must match single-device gradients."""
+    from convtasnet_tpu.ops.loss import cal_loss
+
+    cfg = ConvTasNetConfig(norm_type=norm_type, causal=causal, **TINY)
+    params, state = init_params(jax.random.key(6), cfg)
+    mesh = _mesh(4)
+    rng = np.random.default_rng(9)
+    T = (64 - 1) * cfg.stride + cfg.L
+    src = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.3)
+    mix = src.sum(1)
+    lengths = jnp.asarray([T, T], jnp.int32)
+
+    def cp_loss(p):
+        est = cp_forward(p, state, cfg, mix, mesh, train=True)
+        loss, *_ = cal_loss(src, est, lengths)
+        return loss
+
+    loss_cp, grads_cp = jax.value_and_grad(cp_loss)(params)
+    loss_ref, grads_ref = _grads_single_device(cfg, params, state, mix, src,
+                                               lengths)
+    np.testing.assert_allclose(float(loss_cp), float(loss_ref), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads_ref),
+        jax.tree_util.tree_leaves_with_path(grads_cp),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5, err_msg=str(pa))
+
+
+@pytest.mark.parametrize("axes,batch_axis", [(("context",), None),
+                                             (("data", "context"), "data")])
+def test_cp_train_step_parity(axes, batch_axis):
+    """Three CP train steps == three single-device steps (loss trajectory
+    and final params), pure CP and DP x CP."""
+    cfg = ConvTasNetConfig(**TINY)
+    opt = Optimizer("adam", lr=1e-3)
+    rng = np.random.default_rng(11)
+    T = (64 - 1) * cfg.stride + cfg.L
+    src = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.3)
+    mix = src.sum(1)
+    lengths = jnp.asarray([T, T], jnp.int32)
+
+    if batch_axis:
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("data", "context"))
+    else:
+        mesh = _mesh(4)
+
+    def run_cp():
+        params, state = init_params(jax.random.key(7), cfg)
+        opt_state = opt.init(params)
+        step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0,
+                                  batch_axis=batch_axis)
+        losses = []
+        for _ in range(3):
+            params, opt_state, state, loss, _ = step(
+                params, opt_state, state, mix, src, lengths)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    def run_ref():
+        from convtasnet_tpu.ops.loss import cal_loss
+
+        params, state = init_params(jax.random.key(7), cfg)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state, mix_, src_, lengths_):
+            def loss_fn(p):
+                est, _ = forward(p, state, cfg, mix_, train=True)
+                loss, *_ = cal_loss(src_, est, lengths_)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads, _ = clip_by_global_norm(grads, 5.0)
+            params, opt_state = opt.update(grads, opt_state, params)
+            return params, opt_state, loss
+
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, mix, src, lengths)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    got_losses, got_params = run_cp()
+    ref_losses, ref_params = run_ref()
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_params),
+        jax.tree_util.tree_leaves_with_path(got_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5, err_msg=str(pa))

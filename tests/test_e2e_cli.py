@@ -79,3 +79,26 @@ def test_separate_writes_wavs(trained, dataset, tmp_path):
 
     y, sr = read_wav(s1[0])
     assert sr == 8000 and y.size > 8000 and np.isfinite(y).all()
+
+
+def test_train_cli_cp(dataset, tmp_path):
+    """--cp 4 (with implicit dp=2 over 8 virtual devices): the CP train and
+    eval steps run from the CLI and the loss falls."""
+    _, json_root = dataset
+    save = str(tmp_path / "exp_cp")
+    from convtasnet_tpu.cli.train import main as train_main
+
+    out = train_main([
+        "--train_dir", os.path.join(json_root, "tr"),
+        "--valid_dir", os.path.join(json_root, "cv"),
+        "--segment", "1.0", "--batch_size", "4",
+        "--N", "16", "--L", "8", "--B", "12", "--H", "24",
+        "--X", "2", "--R", "2", "--epochs", "2",
+        "--compute_dtype", "float32", "--num_workers", "2",
+        "--save_folder", save, "--print_freq", "50",
+        "--cp", "4",
+    ])
+    assert len(out["tr_loss"]) == 2
+    assert out["tr_loss"][1] < out["tr_loss"][0]
+    assert np.isfinite(out["cv_loss"]).all()
+    assert os.path.exists(os.path.join(save, "final.ckpt"))

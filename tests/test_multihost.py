@@ -129,3 +129,65 @@ def test_two_process_dp_allreduce(tmp_path):
     # and the loss falls.
     assert results[0]["losses"] == results[1]["losses"]
     assert results[0]["losses"][-1] < results[0]["losses"][0]
+
+
+@pytest.mark.slow
+def test_two_process_train_cli(tmp_path):
+    """VERDICT #6: multi-host wiring must work FROM THE CLI. Two train-CLI
+    processes (4 virtual CPU devices each) join via --coordinator_address
+    into one 8-device DP mesh, train 2 epochs on the same synthetic corpus,
+    and must report identical falling losses; only rank 0 writes ckpts."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from convtasnet_tpu.data.synthetic import make_wav_dataset
+
+    json_root = make_wav_dataset(str(tmp_path / "data"), n_utts=6, C=2,
+                                 sample_rate=8000, min_sec=1.0, max_sec=2.0,
+                                 seed=3)
+    port = _free_port()
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": repo,
+    })
+    save = [str(tmp_path / f"exp{i}") for i in range(2)]
+    argv = lambda pid: [
+        sys.executable, "-m", "convtasnet_tpu.cli.train",
+        "--train_dir", os.path.join(json_root, "tr"),
+        "--valid_dir", os.path.join(json_root, "cv"),
+        "--N", "16", "--L", "8", "--B", "16", "--H", "32", "--P", "3",
+        "--X", "2", "--R", "2", "--C", "2",
+        "--epochs", "2", "--batch_size", "8", "--segment", "1.0",
+        "--compute_dtype", "float32", "--print_freq", "1",
+        "--save_folder", save[pid],
+        "--coordinator_address", f"localhost:{port}",
+        "--num_processes", "2", "--process_id", str(pid),
+    ]
+    procs = [subprocess.Popen(argv(pid), stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait(timeout=30)
+
+    def train_losses(out):
+        return [float(l.split("Train Loss")[1].split("|")[0])
+                for l in out.splitlines() if "Train Summary" in l]
+
+    l0, l1 = train_losses(outs[0]), train_losses(outs[1])
+    assert len(l0) == 2 and l0 == l1, (l0, l1)  # identical global losses
+    assert l0[-1] < l0[0]  # and they fall
+    # Only the coordinator writes the best-model checkpoint.
+    assert os.path.exists(os.path.join(save[0], "final.ckpt"))
+    assert not os.path.exists(os.path.join(save[1], "final.ckpt"))

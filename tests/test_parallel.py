@@ -45,7 +45,29 @@ def test_sharded_forward_matches_single_device(dp, tp):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2)])
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_shards_all_four_matmuls(tp):
+    """SURVEY §2: H AND the bottleneck/mask matmuls must be sharded — the
+    round-1 gap left the widest matmul (B -> C*N) replicated."""
+    cfg = ConvTasNetConfig(**TINY)
+    params, state = init_params(jax.random.key(0), cfg)
+    _, shard_params = make_sharders(dp=8 // tp, tp=tp)
+    sp, _, _ = shard_params(params, state, None)
+
+    def axis_shards(leaf, axis):
+        # number of distinct shards along `axis` for this leaf's sharding
+        spec = leaf.sharding.spec
+        name = spec[axis] if axis < len(spec) else None
+        return leaf.sharding.mesh.shape[name] if name else 1
+
+    sep = sp["separator"]
+    assert axis_shards(sep["bottleneck"]["w"], 0) == tp  # N contraction
+    assert axis_shards(sep["blocks"]["in_w"], 3) == tp  # H columns
+    assert axis_shards(sep["blocks"]["out_w"], 2) == tp  # H contraction
+    assert axis_shards(sep["mask"]["w"], 1) == tp  # C*N columns
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
 def test_sharded_train_step_matches_single_device(dp, tp):
     cfg = ConvTasNetConfig(**TINY)
     model = ConvTasNet(cfg)
