@@ -145,6 +145,10 @@ class Solver:
         self.halving = False
         self.val_no_impv = 0
         self.history: List[Dict[str, Any]] = []
+        # Per-iteration loss points (sampled at print_freq sync points) for
+        # the live loss_iter.png window — the reference's every-iteration
+        # visdom plot (solver.py:197-208).
+        self.iter_history: List[Dict[str, Any]] = []
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -271,6 +275,20 @@ class Solver:
                     f"Current Loss {float(last_loss):.6f} | "
                     f"{1000 * elapsed / max(i + 1 - skip, 1):.1f} ms/batch"
                 )
+                if not cross_valid and self.cfg.visualize:
+                    self.iter_history.append({
+                        "iter": epoch * len(loader) + i + 1,
+                        "epoch": epoch, "loss": float(last_loss),
+                    })
+                    try:
+                        from ..utils.visualize import plot_iter_curve
+
+                        plot_iter_curve(
+                            self.iter_history,
+                            os.path.join(self.cfg.save_folder,
+                                         "loss_iter.png"))
+                    except Exception as e:  # plotting must never kill training
+                        self.log(f"visualize failed: {e}")
             if (not cross_valid and self.cfg.save_every_steps
                     and (i + 1) % self.cfg.save_every_steps == 0):
                 path = os.path.join(self.cfg.save_folder, "latest.ckpt")

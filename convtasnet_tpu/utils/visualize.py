@@ -120,6 +120,43 @@ def plot_loss_curves(
     return out_path
 
 
+def plot_iter_curve(points: List[Dict[str, Any]], out_path: str,
+                    title: str = "training loss (per iteration)"
+                    ) -> Optional[str]:
+    """Per-iteration live loss window — the analogue of the reference's
+    every-iteration visdom plot (solver.py:197-208). `points` rows are
+    {iter, loss[, epoch]}; the solver appends at print_freq sync points (a
+    per-step device sync would serialize the async dispatch pipeline)."""
+    plt = _mpl()
+    if plt is None or not points:
+        return None
+    xs = [int(p["iter"]) for p in points]
+    ys = [float(p["loss"]) for p in points]
+    fig, ax = plt.subplots(figsize=(7.2, 3.6))
+    fig.patch.set_facecolor(_SURFACE)
+    _style_axis(ax)
+    ax.plot(xs, ys, color=_BLUE, linewidth=1.6)
+    # Epoch boundaries as faint verticals, if recorded.
+    seen = set()
+    for p in points:
+        e = p.get("epoch")
+        if e is not None and e not in seen and len(seen) < 40:
+            seen.add(e)
+            if e > 0:
+                ax.axvline(int(p["iter"]), color=_GRID, linewidth=0.8)
+    ax.annotate(f" {ys[-1]:.2f}", (xs[-1], ys[-1]), color=_INK,
+                fontsize=9, va="center")
+    ax.set_xlabel("iteration", color=_INK, fontsize=10)
+    ax.set_ylabel("loss = −SI-SNR (dB)", color=_INK, fontsize=10)
+    ax.set_title(title, color=_INK, fontsize=11, loc="left")
+    ax.margins(x=0.06)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=120, facecolor=_SURFACE)
+    plt.close(fig)
+    return out_path
+
+
 def plot_history(history: List[Dict[str, Any]], out_path: str,
                  title: str = "Conv-TasNet training") -> Optional[str]:
     """Plots Solver.history entries ({epoch, tr_loss, cv_loss, lr, ...})."""

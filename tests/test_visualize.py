@@ -73,6 +73,19 @@ def test_solver_renders_loss_png(tmp_path):
     solver = Solver(ConvTasNet(cfg), tcfg, tr, cv)
     solver.train()
     assert _is_png(tmp_path / "loss.png")
+    # Per-iteration live window (the reference's visdom every-iter plot).
+    assert _is_png(tmp_path / "loss_iter.png")
+    assert len(solver.iter_history) == 2  # one print_freq point per epoch
+
+
+def test_plot_iter_curve(tmp_path):
+    from convtasnet_tpu.utils.visualize import plot_iter_curve
+
+    pts = [{"iter": i + 1, "epoch": i // 5, "loss": 10.0 - 0.1 * i}
+           for i in range(15)]
+    out = str(tmp_path / "it.png")
+    assert plot_iter_curve(pts, out) == out and _is_png(out)
+    assert plot_iter_curve([], str(tmp_path / "no.png")) is None
 
 
 def test_partial_cv_history(tmp_path):
