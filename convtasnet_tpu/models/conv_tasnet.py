@@ -221,15 +221,23 @@ def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
 def _use_fused_whole(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
                      train: bool = False) -> bool:
     """Whole-block kernel (both 1x1 matmuls inside; fused_whole_block.py):
-    inference-only, stateless norms, and the x/conv/two-pass slabs plus
-    weights must fit VMEM."""
-    if cfg.use_pallas != "whole" or train:
+    stateless norms, and the x/conv/two-pass slabs plus weights must fit
+    VMEM. Training runs through the custom-VJP backward kernel
+    (whole_block_vjp.py), which keeps four [K(+2*span), H] slabs plus the
+    pipelined [K, B] x/g/dx blocks resident — a larger VMEM footprint than
+    the forward, checked separately."""
+    if cfg.use_pallas != "whole":
         return False
     if cfg.norm_type == "BN" or bstate is not None:
         return False
     K = -(-x.shape[1] // 128) * 128
     it = cfg.dtype.itemsize
     span = (cfg.P - 1) * 2 ** (cfg.X - 1)
+    if train:
+        need = (2 * K * cfg.H + 2 * (K + 2 * span) * cfg.H  # y1/c + b/dz
+                + 6 * K * cfg.B                             # x/g/dx pipelined
+                ) * it + 12 * cfg.B * cfg.H                 # f32 w-grad accums
+        return need <= 96 * 1024 * 1024
     need = (2 * K * cfg.B + (K + 2 * span) * cfg.H + K * cfg.H
             + 2 * cfg.B * cfg.H) * it
     return need <= 13 * 1024 * 1024
@@ -282,9 +290,14 @@ def separate(
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
             if fused_whole:
-                from ..ops.pallas.fused_whole_block import whole_block_pallas
-
-                x = whole_block_pallas(
+                if train:
+                    # Custom-VJP path: backward is one Pallas kernel that
+                    # recomputes the mid-chain from the saved [M, K, B]
+                    # block input (whole_block_vjp.py).
+                    from ..ops.pallas.whole_block_vjp import whole_block_train as _wb
+                else:
+                    from ..ops.pallas.fused_whole_block import whole_block_pallas as _wb
+                x = _wb(
                     x, bp["in_w"], bp["in_prelu"], bp["in_gamma"],
                     bp["in_beta"], bp["dw_w"], bp["dw_prelu"],
                     bp["dw_gamma"], bp["dw_beta"], bp["out_w"],

@@ -100,21 +100,30 @@ def test_model_forward_whole_matches_xla(norm_type, causal):
                                rtol=5e-4, atol=5e-5)
 
 
-def test_whole_mode_training_falls_back_to_xla():
-    """use_pallas='whole' must not break training: train=True bypasses the
-    kernel (no custom VJP) and grads flow through the XLA path."""
+def test_whole_mode_training_matches_xla():
+    """use_pallas='whole' training runs the custom-VJP kernel
+    (ops/pallas/whole_block_vjp.py): whole-model loss and every parameter
+    gradient must match the XLA path."""
     from convtasnet_tpu.ops.loss import cal_loss
 
-    cfg = ConvTasNetConfig(use_pallas="whole", **TINY)
-    params, state = init_params(jax.random.key(4), cfg)
+    cfg_ref = ConvTasNetConfig(use_pallas=False, **TINY)
+    cfg_whole = ConvTasNetConfig(use_pallas="whole", **TINY)
+    params, state = init_params(jax.random.key(4), cfg_ref)
     rng = np.random.default_rng(4)
     mix = jnp.asarray(rng.normal(size=(2, 1600)).astype(np.float32))
     src = jnp.stack([mix * 0.6, mix * 0.4], axis=1)
     lens = jnp.full(2, 1600, jnp.int32)
 
-    def loss_fn(p):
+    def loss_fn(p, cfg):
         est, _ = forward(p, state, cfg, mix, train=True)
         return cal_loss(src, est, lens)[0]
 
-    g = jax.grad(loss_fn)(params)
-    assert all(np.isfinite(x).all() for x in jax.tree_util.tree_leaves(g))
+    want_l, want_g = jax.value_and_grad(loss_fn)(params, cfg_ref)
+    got_l, got_g = jax.value_and_grad(loss_fn)(params, cfg_whole)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-4)
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want_g)
+    flat_g = jax.tree_util.tree_leaves(got_g)
+    for (path, a), b in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
