@@ -21,6 +21,11 @@ import time
 
 import jax
 
+# TPU v5e (1 chip) peak dense bf16 matmul throughput, from the public TPU
+# v5e spec sheet. Used only to report MFU; the HBM roofline below is
+# *measured* on the attached chip, not quoted.
+V5E_PEAK_BF16_FLOPS = 197e12
+
 def _cache():
     try:
         import sys as _s, os as _o
@@ -36,6 +41,71 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_AUDIO_SPS_ESTIMATE = 22.0
+
+
+def _measure_hbm_peak_gbps() -> float:
+    """Measured streaming HBM bandwidth of the attached chip (GB/s).
+
+    Times a jitted elementwise pass over a 1 GiB array: each call reads
+    and writes the full buffer (2 GiB of HBM traffic), which is the same
+    access pattern as the train step's activation streams. This anchors
+    the roofline to the hardware actually under test instead of a quoted
+    spec number.
+
+    Two measurement hazards on the remote (axon-tunnel) backend, both
+    handled here: block_until_ready can return before remote execution
+    finishes, so every timed region ends with a real device->host value
+    fetch; and the fetch itself costs a fixed RTT, so the rate is taken
+    from the SLOPE between a short and a long chain (t(N2)-t(N1))/(N2-N1),
+    which cancels all constant overhead."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    x = jnp.zeros((256 * 1024 * 1024,), jnp.float32)  # 1 GiB
+    f = jax.jit(lambda a: a * 1.000001 + 1e-9)
+    fetch = jax.jit(lambda a: a[:8])
+    y = f(x)
+    np.asarray(fetch(y))  # warm compiles + fetch path
+
+    def chain(iters):
+        t0 = time.perf_counter()
+        yy = y
+        for _ in range(iters):
+            yy = f(yy)
+        np.asarray(fetch(yy))
+        return time.perf_counter() - t0
+
+    n1, n2 = 10, 40
+    best = 0.0
+    for _ in range(3):  # best-of-3 slopes: robust to tunnel jitter
+        dt = (chain(n2) - chain(n1)) / (n2 - n1)
+        if dt > 0:
+            best = max(best, 2 * x.nbytes / dt / 1e9)
+    return best
+
+
+def _cost_analysis(step, *args):
+    """(flops, hbm_bytes) per step from the compiled executable, or None.
+
+    XLA's cost analysis reports post-fusion FLOPs and per-memory-space
+    bytes accessed for the whole train-step program (forward + backward +
+    clip + Adam)."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        # Prefer the explicit HBM space key; fall back to the aggregate.
+        hbm = None
+        for key in ("bytes accessed0{}", "bytes accessed"):
+            if key in ca:
+                hbm = float(ca[key])
+                break
+        if flops <= 0 or hbm is None or hbm <= 0:
+            return None
+        return flops, hbm
+    except Exception:
+        return None
 
 
 def main():
@@ -64,25 +134,55 @@ def main():
     mix, lens, src = synthetic_batch(np.random.default_rng(0), batch, cfg.C, T, sr)
     mix, lens, src = jnp.asarray(mix), jnp.asarray(lens), jnp.asarray(src)
 
-    # Warmup / compile.
+    # Warmup / compile. The loss fetch (not block_until_ready) is what
+    # guarantees remote execution actually finished: on the axon-tunnel
+    # backend block_until_ready can return early, while a device->host
+    # value read cannot.
     for _ in range(2):
         params, opt_state, state, loss, _ = step(params, opt_state, state, mix, src, lens)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_steps = 20
+    n_steps = 40
     t0 = time.perf_counter()
     for _ in range(n_steps):
         params, opt_state, state, loss, _ = step(params, opt_state, state, mix, src, lens)
-    jax.block_until_ready(loss)
+    float(loss)  # forces the whole chain; fetch RTT amortizes over n_steps
     dt = time.perf_counter() - t0
 
     audio_sps = n_steps * batch * seg_sec / dt
-    print(json.dumps({
+    step_s = dt / n_steps
+
+    out = {
         "metric": "train_throughput_paper_config",
         "value": round(audio_sps, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(audio_sps / REFERENCE_AUDIO_SPS_ESTIMATE, 3),
-    }))
+        "step_ms": round(step_s * 1e3, 3),
+    }
+
+    # Roofline accounting: FLOPs + HBM bytes of the compiled step (XLA cost
+    # analysis), achieved rates, MFU vs the v5e bf16 peak, and fraction of
+    # the *measured* HBM streaming roofline (see _measure_hbm_peak_gbps).
+    ca = _cost_analysis(step, params, opt_state, state, mix, src, lens)
+    if ca is not None:
+        flops, hbm_bytes = ca
+        achieved_tflops = flops / step_s / 1e12
+        achieved_gbps = hbm_bytes / step_s / 1e9
+        entry = {
+            "flops_per_step": flops,
+            "hbm_bytes_per_step": hbm_bytes,
+            "achieved_tflops": round(achieved_tflops, 2),
+            "mfu_vs_bf16_peak": round(achieved_tflops * 1e12
+                                      / V5E_PEAK_BF16_FLOPS, 4),
+            "achieved_hbm_gbps": round(achieved_gbps, 1),
+        }
+        if jax.default_backend() == "tpu":
+            peak_gbps = _measure_hbm_peak_gbps()
+            entry["measured_hbm_peak_gbps"] = round(peak_gbps, 1)
+            entry["hbm_roofline_frac"] = round(achieved_gbps / peak_gbps, 3)
+        out.update(entry)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -21,6 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--segment", default=4.0, type=float)
     p.add_argument("--cv_maxlen", default=8.0, type=float)
+    p.add_argument("--cv_batch_size", default=0, type=int,
+                   help="utterances per CV batch; 0 = auto (the data-"
+                        "parallel width when DP is active, so validation "
+                        "shards over devices instead of replicating, else "
+                        "1 like the reference train.py:106-108)")
     # Network
     p.add_argument("--N", default=256, type=int)
     p.add_argument("--L", default=20, type=int)
@@ -131,8 +136,16 @@ def main(argv=None):
         args.train_dir, args.batch_size, sample_rate=args.sample_rate,
         segment=args.segment, num_speakers=args.C,
     )
+    cv_bs = args.cv_batch_size
+    if cv_bs <= 0:
+        cv_bs = 1
+        if args.cp <= 1 and not multihost and (args.dp != 1 or args.tp > 1):
+            import jax
+
+            cv_bs = args.dp if args.dp > 0 else max(
+                1, len(jax.devices()) // args.tp)
     cv_dataset = AudioDataset(
-        args.valid_dir, batch_size=1, sample_rate=args.sample_rate,
+        args.valid_dir, batch_size=cv_bs, sample_rate=args.sample_rate,
         segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=args.C,
         pad_to_multiple=args.pad_to_multiple,
     )

@@ -112,7 +112,10 @@ def si_snr_with_pit(
     source = source * mask
     estimate = estimate * mask
 
-    n = lengths.astype(jnp.float32)[:, None, None]
+    # max(n, 1): rows with length 0 are padding rows (e.g. batches padded
+    # to a data-parallel multiple, parallel/mesh.py); keep their arithmetic
+    # finite here — cal_loss gives them zero weight.
+    n = jnp.maximum(lengths, 1).astype(jnp.float32)[:, None, None]
     zm_src = source - jnp.sum(source, axis=2, keepdims=True) / n
     zm_est = estimate - jnp.sum(estimate, axis=2, keepdims=True) / n
     zm_src = zm_src * mask
@@ -155,6 +158,12 @@ def cal_loss(
     """
     max_snr, best_perm, masked_est = si_snr_with_pit(source, estimate,
                                                      lengths, method)
-    loss = -jnp.mean(max_snr)
+    # Zero-length rows are padding (batches padded to a data-parallel
+    # multiple, parallel/mesh.py): excluded from the mean with zero weight,
+    # so padded and unpadded batches produce identical loss AND gradients.
+    # For all-real batches this is exactly the reference's -mean
+    # (pit_criterion.py:22).
+    w = (lengths > 0).astype(max_snr.dtype)
+    loss = -jnp.sum(max_snr * w) / jnp.maximum(jnp.sum(w), 1.0)
     reordered = reorder_source(masked_est, best_perm)
     return loss, max_snr, masked_est, reordered

@@ -10,6 +10,7 @@ chosen by XLA from the mesh layout.
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Optional
 
@@ -71,8 +72,10 @@ def shard_batch_fn_multihost(mesh: Mesh):
     Every process loads the SAME global batch (the loader's order is a pure
     function of (seed, epoch), so ranks agree without communication) and
     contributes its contiguous row slice via make_array_from_process_local_
-    data. Batches indivisible by the data axis or process count fall back
-    to replication, mirroring the single-process sharder."""
+    data. Batches indivisible by the data axis or process count are padded
+    with zero rows (length 0, zero loss weight — ops/loss.py:cal_loss) up
+    to the next lcm(dp, nproc) multiple, mirroring the single-process
+    sharder: loss/grads stay exact and every device keeps a slice."""
     dp = mesh.shape["data"]
 
     def shard(mixture, lengths, source):
@@ -81,13 +84,14 @@ def shard_batch_fn_multihost(mesh: Mesh):
         arrays = [np.asarray(mixture), np.asarray(lengths),
                   np.asarray(source) if source is not None else None]
         b = arrays[0].shape[0]
-        if b % dp == 0 and b % nproc == 0:
-            lo, hi = rank * b // nproc, (rank + 1) * b // nproc
-            out = [global_batch_from_local(mesh, a[lo:hi], P("data"))
-                   if a is not None else None for a in arrays]
-        else:
-            out = [global_batch_from_local(mesh, a, P())
-                   if a is not None else None for a in arrays]
+        q = dp * nproc // math.gcd(dp, nproc)  # lcm
+        b_pad = -(-b // q) * q
+        if b_pad != b:
+            arrays = [np.pad(a, [(0, b_pad - b)] + [(0, 0)] * (a.ndim - 1))
+                      if a is not None else None for a in arrays]
+        lo, hi = rank * b_pad // nproc, (rank + 1) * b_pad // nproc
+        out = [global_batch_from_local(mesh, a[lo:hi], P("data"))
+               if a is not None else None for a in arrays]
         return tuple(out)
 
     return shard

@@ -123,22 +123,30 @@ def shard_params_fn(mesh: Mesh, tp: int) -> Callable:
 def shard_batch_fn(mesh: Mesh) -> Callable:
     """Returns (mixture, lengths, source) -> device arrays sharded on 'data'.
 
-    Batches whose leading dim doesn't divide the data axis are replicated
-    (slow path, e.g. batch_size=1 CV batches)."""
+    Batches whose leading dim doesn't divide the data axis are padded with
+    zero rows (length 0) up to the next multiple instead of replicated —
+    the loss gives zero-length rows zero weight (ops/loss.py:cal_loss), so
+    loss and gradients are exact while every device keeps a 1/dp slice of
+    the work (e.g. trailing partial batches, small CV batches)."""
     dp = mesh.shape["data"]
+
+    def pad_rows(a, b_pad):
+        a = np.asarray(a)
+        if a.shape[0] == b_pad:
+            return a
+        widths = [(0, b_pad - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths)
 
     def shard(mixture, lengths, source):
         b = np.asarray(mixture).shape[0]
-        if b % dp == 0:
-            sb = NamedSharding(mesh, P("data"))
-        else:
-            sb = NamedSharding(mesh, P())
+        b_pad = -(-b // dp) * dp
+        sb = NamedSharding(mesh, P("data"))
         out = [
-            jax.device_put(np.asarray(mixture), sb),
-            jax.device_put(np.asarray(lengths), sb),
+            jax.device_put(pad_rows(mixture, b_pad), sb),
+            jax.device_put(pad_rows(lengths, b_pad), sb),
         ]
         if source is not None:
-            out.append(jax.device_put(np.asarray(source), sb))
+            out.append(jax.device_put(pad_rows(source, b_pad), sb))
         else:
             out.append(None)
         return tuple(out)

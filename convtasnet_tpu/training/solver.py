@@ -234,6 +234,7 @@ class Solver:
         loader = self.cv_loader if cross_valid else self.tr_loader
         total_loss = 0.0
         total_audio_sec = 0.0
+        total_w = 0  # CV: utterances accumulated (weighted batch means)
         start = time.time()
         skip = 0
         if not cross_valid:
@@ -255,6 +256,12 @@ class Solver:
             )
             if cross_valid:
                 loss = self.eval_step(self.params, self.state, mixture, source, lengths)
+                # CV batches may hold several utterances (e.g. batch_size=dp
+                # for sharded eval): weight each batch loss by its real
+                # utterance count so the epoch average stays the reference's
+                # mean-over-utterances regardless of batching.
+                batch_w = int(np.sum(np.asarray(batch.lengths) > 0))
+                total_w += batch_w
             else:
                 (self.params, self.opt_state, self.state, loss, _gn) = self.train_step(
                     self.params, self.opt_state, self.state, mixture, source, lengths
@@ -264,14 +271,15 @@ class Solver:
             # batch prep with device compute. Deferring the readback lets
             # JAX's async dispatch overlap them (sync only at print_freq,
             # checkpoint, and epoch end).
-            total_loss = total_loss + loss
+            total_loss = total_loss + (loss * batch_w if cross_valid else loss)
             last_loss = loss
             total_audio_sec += float(np.sum(np.asarray(batch.lengths))) / self.cfg.sample_rate
             if i % self.cfg.print_freq == 0:
                 elapsed = time.time() - start
+                denom = total_w if cross_valid else i + 1
                 self.log(
                     f"Epoch {epoch + 1} | Iter {i + 1} | "
-                    f"Average Loss {float(total_loss) / (i + 1):.3f} | "
+                    f"Average Loss {float(total_loss) / max(denom, 1):.3f} | "
                     f"Current Loss {float(last_loss):.6f} | "
                     f"{1000 * elapsed / max(i + 1 - skip, 1):.1f} ms/batch"
                 )
@@ -297,7 +305,7 @@ class Solver:
                     "running_loss": float(total_loss),
                     "running_audio_sec": total_audio_sec,
                 })
-        n = i + 1
+        n = total_w if cross_valid else i + 1
         if n <= 0:
             return float("nan"), 0.0
         # One sync for the whole epoch: wait for the device to drain the

@@ -64,6 +64,9 @@ def build_parser():
     p.add_argument("--cv_maxlen", type=float, default=8.0)
     p.add_argument("--checkpoint", type=int, default=1)
     p.add_argument("--continue_from", default="")
+    p.add_argument("--save_every_steps", type=int, default=0,
+                   help="mid-epoch latest.ckpt cadence (preemption-safe "
+                        "resume; 0 = per-epoch only)")
     p.add_argument("--print_freq", type=int, default=10)
     p.add_argument("--visualize", type=int, default=1)
     # TPU-native
@@ -192,6 +195,7 @@ def main(argv=None):
             "--momentum", str(args.momentum), "--l2", str(args.l2),
             "--save_folder", save, "--checkpoint", str(args.checkpoint),
             "--continue_from", args.continue_from,
+            "--save_every_steps", str(args.save_every_steps),
             "--print_freq", str(args.print_freq),
             "--visualize", str(args.visualize),
             "--compute_dtype", args.compute_dtype, "--remat", args.remat,

@@ -165,3 +165,43 @@ def test_source_padding_masked():
     np.testing.assert_allclose(np.asarray(loss0), np.asarray(loss1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(snr0), np.asarray(snr1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(re0), np.asarray(re1), rtol=1e-6)
+
+
+def test_zero_length_rows_excluded():
+    """Zero-length rows are batch padding (parallel/mesh.py pads batches to
+    the data-axis multiple): they must be finite, carry zero weight in the
+    loss, and contribute zero gradient — so padded and unpadded batches
+    produce identical loss AND grads."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    B, C, T = 3, 2, 640
+    src = rng.normal(size=(B, C, T)).astype(np.float32)
+    est = rng.normal(size=(B, C, T)).astype(np.float32)
+    lengths = np.array([640, 500, 640], np.int32)
+
+    loss_real = cal_loss(jnp.asarray(src), jnp.asarray(est),
+                         jnp.asarray(lengths))[0]
+
+    pad = 5
+    src_p = np.concatenate([src, np.zeros((pad, C, T), np.float32)])
+    # padded-row estimates are arbitrary garbage: weight-0 must kill them
+    est_p = np.concatenate(
+        [est, rng.normal(size=(pad, C, T)).astype(np.float32)])
+    lengths_p = np.concatenate([lengths, np.zeros(pad, np.int32)])
+
+    loss_pad = cal_loss(jnp.asarray(src_p), jnp.asarray(est_p),
+                        jnp.asarray(lengths_p))[0]
+    assert np.isfinite(float(loss_pad))
+    np.testing.assert_allclose(float(loss_pad), float(loss_real), rtol=1e-6)
+
+    g_real = jax.grad(
+        lambda e: cal_loss(jnp.asarray(src), e, jnp.asarray(lengths))[0]
+    )(jnp.asarray(est))
+    g_pad = jax.grad(
+        lambda e: cal_loss(jnp.asarray(src_p), e, jnp.asarray(lengths_p))[0]
+    )(jnp.asarray(est_p))
+    assert np.all(np.isfinite(np.asarray(g_pad)))
+    np.testing.assert_allclose(np.asarray(g_pad[:B]), np.asarray(g_real),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(g_pad[B:]), 0.0)
