@@ -110,12 +110,14 @@ def main(argv=None):
         for _ in range(2):
             params, opt_state, state, loss, _ = step(
                 params, opt_state, state, mix, src, lens)
-        jax.block_until_ready(loss)
+        float(loss)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             params, opt_state, state, loss, _ = step(
                 params, opt_state, state, mix, src, lens)
-        jax.block_until_ready(loss)
+        # A value fetch (not block_until_ready, which can return early on
+        # remote backends) guarantees the timed chain actually finished.
+        float(loss)
         dt = (time.perf_counter() - t0) / args.steps
         sps = gb * seconds / dt
         row = {

@@ -63,12 +63,24 @@ def main(argv=None):
                         .astype(np.float32))
         for _ in range(3):  # compile first-chunk AND steady-state programs
             out = sep.push(x)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            out = sep.push(x)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / args.steps
+        np.asarray(out)
+
+        # Slope timing with a real device->host fetch at the end of each
+        # chain: on the remote (axon-tunnel) backend block_until_ready can
+        # return before execution finishes, and a fetch costs a fixed RTT
+        # that would swamp a ~1 ms chunk latency — the slope between a
+        # short and a long chain cancels both.
+        def chain(n):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(n):
+                o = sep.push(x)
+            np.asarray(o)
+            return time.perf_counter() - t0
+
+        chain(2)
+        dt = (chain(2 * args.steps) - chain(args.steps)) / args.steps
+        dt = max(dt, 1e-9)
         row = {"chunk_ms": round(chunk / sr * 1e3, 1), "batch": args.batch,
                "latency_ms": round(dt * 1e3, 3),
                "rtf": round(dt / (chunk / sr), 4)}
