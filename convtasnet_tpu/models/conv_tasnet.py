@@ -394,7 +394,10 @@ class ConvTasNet:
         self.cfg = cfg
 
     def init(self, key: jax.Array) -> Tuple[Params, State]:
-        return init_params(key, self.cfg)
+        # One compiled program instead of ~600 eager dispatches (272 key
+        # splits + per-leaf xavier draws): on a remote backend every eager
+        # op pays a network round trip, turning startup into minutes.
+        return jax.jit(lambda k: init_params(k, self.cfg))(key)
 
     def apply(self, params, state, mixture, train: bool = False):
         return forward(params, state, self.cfg, mixture, train)

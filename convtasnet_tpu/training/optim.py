@@ -55,6 +55,11 @@ class Optimizer:
         self.b1, self.b2, self.eps = b1, b2, eps
 
     def init(self, params: Params) -> OptState:
+        # Jitted: one program instead of one eager zeros op per leaf (a
+        # per-op network round trip on remote backends).
+        return jax.jit(self._init_impl)(params)
+
+    def _init_impl(self, params: Params) -> OptState:
         zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
         if self.kind == "adam":
             mu, nu = zeros, jax.tree_util.tree_map(jnp.zeros_like, params)

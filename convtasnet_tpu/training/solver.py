@@ -96,6 +96,8 @@ class Solver:
             momentum=train_cfg.momentum,
             weight_decay=train_cfg.l2,
         )
+        self.log("Initializing parameters on "
+                 f"{jax.default_backend()} (jitted init)...")
         params, state = model.init(jax.random.key(train_cfg.seed))
         opt_state = self.opt.init(params)
         self.start_epoch = 0
