@@ -143,3 +143,43 @@ def test_midepoch_checkpoint_resume(tmp_path):
     assert s2.resume_step == 4
     s2.train()
     assert tr.last_skip == 4  # resumed epoch skipped completed steps
+
+
+def test_cv_batching_preserves_utterance_mean(tmp_path):
+    """The CV epoch average must be the reference's mean-over-utterances
+    (train.py:106-108 validates at batch_size=1) no matter how utterances
+    are grouped into batches: batch losses are weighted by real utterance
+    count and zero-length pad rows carry zero weight."""
+    rng = np.random.default_rng(3)
+    T = 2048
+    utts = [synthetic_batch(rng, 1, 2, T) for _ in range(5)]
+
+    def batch_of(items):
+        mix = np.concatenate([m for m, _, _ in items])
+        lens = np.concatenate([l for _, l, _ in items])
+        src = np.concatenate([s for _, _, s in items])
+        return Batch(mix, lens, src)
+
+    model = ConvTasNet(ConvTasNetConfig(**TINY))
+    cfg = TrainConfig(epochs=1, batch_size=2, save_folder=str(tmp_path),
+                      print_freq=100)
+    tr = [batch_of(utts[:2])]
+
+    def cv_avg(cv):
+        s = Solver(model, cfg, tr, cv)
+        loss, _ = s._run_one_epoch(0, cross_valid=True)
+        return loss
+
+    # batch_size=1 (the reference grouping) vs uneven grouping [2, 3]
+    one = cv_avg([batch_of([u]) for u in utts])
+    grouped = cv_avg([batch_of(utts[:2]), batch_of(utts[2:])])
+    np.testing.assert_allclose(grouped, one, rtol=1e-5)
+
+    # padded grouping: a zero-length pad row must not move the average
+    b = batch_of(utts[2:])
+    padded = Batch(
+        np.concatenate([b.mixture, np.zeros_like(b.mixture[:1])]),
+        np.concatenate([b.lengths, np.zeros_like(b.lengths[:1])]),
+        np.concatenate([b.source, np.zeros_like(b.source[:1])]))
+    padded_avg = cv_avg([batch_of(utts[:2]), padded])
+    np.testing.assert_allclose(padded_avg, one, rtol=1e-5)
