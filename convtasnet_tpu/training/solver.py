@@ -149,8 +149,11 @@ class Solver:
         self.history: List[Dict[str, Any]] = []
         # Per-iteration loss points (sampled at print_freq sync points) for
         # the live loss_iter.png window — the reference's every-iteration
-        # visdom plot (solver.py:197-208).
+        # visdom plot (solver.py:197-208). Redraws are wall-clock throttled
+        # (iter_plot_interval seconds; 0 = redraw at every capture).
         self.iter_history: List[Dict[str, Any]] = []
+        self.iter_plot_interval: float = 5.0
+        self._last_iter_plot: float = 0.0
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -290,15 +293,22 @@ class Solver:
                         "iter": epoch * len(loader) + i + 1,
                         "epoch": epoch, "loss": float(last_loss),
                     })
-                    try:
-                        from ..utils.visualize import plot_iter_curve
+                    # Every point is captured, but the PNG re-render (a
+                    # full matplotlib figure, ~100 ms) is throttled by wall
+                    # clock: on a loader-bound host an every-print_freq
+                    # redraw costs several percent of epoch time.
+                    now = time.time()
+                    if now - self._last_iter_plot >= self.iter_plot_interval:
+                        self._last_iter_plot = now
+                        try:
+                            from ..utils.visualize import plot_iter_curve
 
-                        plot_iter_curve(
-                            self.iter_history,
-                            os.path.join(self.cfg.save_folder,
-                                         "loss_iter.png"))
-                    except Exception as e:  # plotting must never kill training
-                        self.log(f"visualize failed: {e}")
+                            plot_iter_curve(
+                                self.iter_history,
+                                os.path.join(self.cfg.save_folder,
+                                             "loss_iter.png"))
+                        except Exception as e:  # must never kill training
+                            self.log(f"visualize failed: {e}")
             if (not cross_valid and self.cfg.save_every_steps
                     and (i + 1) % self.cfg.save_every_steps == 0):
                 path = os.path.join(self.cfg.save_folder, "latest.ckpt")

@@ -100,3 +100,33 @@ def test_partial_cv_history(tmp_path):
 
 def test_cli_missing_history(tmp_path):
     assert viz_main([str(tmp_path)]) == 1
+
+
+def test_iter_plot_wall_clock_throttle(tmp_path, monkeypatch):
+    """Every print_freq point is captured, but the PNG re-render is
+    wall-clock throttled (Solver.iter_plot_interval) so live plotting
+    cannot eat a loader-bound host's epoch time."""
+    import numpy as np
+
+    import convtasnet_tpu.utils.visualize as viz
+    from convtasnet_tpu.config import ConvTasNetConfig, TrainConfig
+    from convtasnet_tpu.data.dataset import Batch
+    from convtasnet_tpu.data.synthetic import synthetic_batch
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+    from convtasnet_tpu.training.solver import Solver
+
+    cfg = ConvTasNetConfig(N=8, L=8, B=8, H=16, P=3, X=1, R=1, C=2,
+                           compute_dtype="float32", use_pallas=False)
+    tcfg = TrainConfig(epochs=2, batch_size=2, save_folder=str(tmp_path),
+                       checkpoint=False, visualize=True, print_freq=100)
+    rng = np.random.default_rng(0)
+    tr = [Batch(*synthetic_batch(rng, 2, 2, 2000)) for _ in range(2)]
+    cv = [Batch(*synthetic_batch(rng, 2, 2, 2000))]
+    solver = Solver(ConvTasNet(cfg), tcfg, tr, cv)
+    solver.iter_plot_interval = 1e9  # only the very first render may fire
+    renders = []
+    monkeypatch.setattr(viz, "plot_iter_curve",
+                        lambda pts, path: renders.append(len(pts)))
+    solver.train()
+    assert len(solver.iter_history) == 2  # one capture per epoch, both kept
+    assert renders == [1]  # a single render, at the first capture
