@@ -147,11 +147,14 @@ class Solver:
         self.halving = False
         self.val_no_impv = 0
         self.history: List[Dict[str, Any]] = []
-        # Per-iteration loss points (sampled at print_freq sync points) for
-        # the live loss_iter.png window — the reference's every-iteration
-        # visdom plot (solver.py:197-208). Redraws are wall-clock throttled
-        # (iter_plot_interval seconds; 0 = redraw at every capture).
+        # Per-iteration loss points for the live loss_iter.png window — the
+        # reference's every-iteration visdom plot (solver.py:197-208). Every
+        # iteration's loss is captured as a device scalar (no sync) and
+        # drained to floats at print_freq / epoch-end sync points; redraws
+        # are wall-clock throttled (iter_plot_interval seconds; 0 = redraw
+        # at every drain).
         self.iter_history: List[Dict[str, Any]] = []
+        self._pending_iter: List[tuple] = []
         self.iter_plot_interval: float = 5.0
         self._last_iter_plot: float = 0.0
 
@@ -279,6 +282,14 @@ class Solver:
             total_loss = total_loss + (loss * batch_w if cross_valid else loss)
             last_loss = loss
             total_audio_sec += float(np.sum(np.asarray(batch.lengths))) / self.cfg.sample_rate
+            if not cross_valid and self.cfg.visualize:
+                # Capture EVERY iteration (the reference plots every iter,
+                # solver.py:197-208) at zero sync cost: the device scalar
+                # is appended as-is and only converted to a float at the
+                # existing sync points (print_freq / epoch end), where the
+                # async queue has already drained past it.
+                self._pending_iter.append(
+                    (epoch * len(loader) + i + 1, epoch, loss))
             if i % self.cfg.print_freq == 0:
                 elapsed = time.time() - start
                 denom = total_w if cross_valid else i + 1
@@ -289,26 +300,8 @@ class Solver:
                     f"{1000 * elapsed / max(i + 1 - skip, 1):.1f} ms/batch"
                 )
                 if not cross_valid and self.cfg.visualize:
-                    self.iter_history.append({
-                        "iter": epoch * len(loader) + i + 1,
-                        "epoch": epoch, "loss": float(last_loss),
-                    })
-                    # Every point is captured, but the PNG re-render (a
-                    # full matplotlib figure, ~100 ms) is throttled by wall
-                    # clock: on a loader-bound host an every-print_freq
-                    # redraw costs several percent of epoch time.
-                    now = time.time()
-                    if now - self._last_iter_plot >= self.iter_plot_interval:
-                        self._last_iter_plot = now
-                        try:
-                            from ..utils.visualize import plot_iter_curve
-
-                            plot_iter_curve(
-                                self.iter_history,
-                                os.path.join(self.cfg.save_folder,
-                                             "loss_iter.png"))
-                        except Exception as e:  # must never kill training
-                            self.log(f"visualize failed: {e}")
+                    self._drain_iter_points()
+                    self._maybe_plot_iter()
             if (not cross_valid and self.cfg.save_every_steps
                     and (i + 1) % self.cfg.save_every_steps == 0):
                 path = os.path.join(self.cfg.save_folder, "latest.ckpt")
@@ -324,7 +317,34 @@ class Solver:
         # async queue so the wall-clock (and audio-s/s) is honest.
         epoch_loss = float(total_loss)
         audio_sps = total_audio_sec / max(time.time() - start, 1e-9)
+        if not cross_valid and self.cfg.visualize:
+            self._drain_iter_points()  # free: the sync above drained past them
+            self._maybe_plot_iter()
         return epoch_loss / n, audio_sps
+
+    def _drain_iter_points(self) -> None:
+        """Convert captured per-iteration device scalars to floats."""
+        for it, ep, dev_loss in self._pending_iter:
+            self.iter_history.append(
+                {"iter": it, "epoch": ep, "loss": float(dev_loss)})
+        self._pending_iter.clear()
+
+    def _maybe_plot_iter(self) -> None:
+        """Re-render loss_iter.png, wall-clock throttled: a full matplotlib
+        figure costs ~100 ms, which on a loader-bound host would eat several
+        percent of epoch time if redrawn at every print_freq point."""
+        now = time.time()
+        if now - self._last_iter_plot < self.iter_plot_interval:
+            return
+        self._last_iter_plot = now
+        try:
+            from ..utils.visualize import plot_iter_curve
+
+            plot_iter_curve(
+                self.iter_history,
+                os.path.join(self.cfg.save_folder, "loss_iter.png"))
+        except Exception as e:  # plotting must never kill training
+            self.log(f"visualize failed: {e}")
 
     # ------------------------------------------------------------------
     def _save(self, path: str, epoch: int, extra: Optional[dict] = None) -> None:

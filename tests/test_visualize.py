@@ -73,9 +73,10 @@ def test_solver_renders_loss_png(tmp_path):
     solver = Solver(ConvTasNet(cfg), tcfg, tr, cv)
     solver.train()
     assert _is_png(tmp_path / "loss.png")
-    # Per-iteration live window (the reference's visdom every-iter plot).
+    # Per-iteration live window (the reference's visdom every-iter plot):
+    # EVERY train iteration is captured (2 batches x 2 epochs).
     assert _is_png(tmp_path / "loss_iter.png")
-    assert len(solver.iter_history) == 2  # one print_freq point per epoch
+    assert [p["iter"] for p in solver.iter_history] == [1, 2, 3, 4]
 
 
 def test_plot_iter_curve(tmp_path):
@@ -103,9 +104,10 @@ def test_cli_missing_history(tmp_path):
 
 
 def test_iter_plot_wall_clock_throttle(tmp_path, monkeypatch):
-    """Every print_freq point is captured, but the PNG re-render is
-    wall-clock throttled (Solver.iter_plot_interval) so live plotting
-    cannot eat a loader-bound host's epoch time."""
+    """Every iteration's loss is captured (as a no-sync device scalar,
+    drained at sync points), but the PNG re-render is wall-clock throttled
+    (Solver.iter_plot_interval) so live plotting cannot eat a loader-bound
+    host's epoch time."""
     import numpy as np
 
     import convtasnet_tpu.utils.visualize as viz
@@ -128,5 +130,7 @@ def test_iter_plot_wall_clock_throttle(tmp_path, monkeypatch):
     monkeypatch.setattr(viz, "plot_iter_curve",
                         lambda pts, path: renders.append(len(pts)))
     solver.train()
-    assert len(solver.iter_history) == 2  # one capture per epoch, both kept
-    assert renders == [1]  # a single render, at the first capture
+    # Every train iteration captured: 2 batches x 2 epochs, in order.
+    assert [p["iter"] for p in solver.iter_history] == [1, 2, 3, 4]
+    assert not solver._pending_iter  # all drained at sync points
+    assert renders == [1]  # a single render, at the first drain
