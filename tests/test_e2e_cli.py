@@ -102,3 +102,66 @@ def test_train_cli_cp(dataset, tmp_path):
     assert out["tr_loss"][1] < out["tr_loss"][0]
     assert np.isfinite(out["cv_loss"]).all()
     assert os.path.exists(os.path.join(save, "final.ckpt"))
+
+
+def test_stream_cli_matches_offline(tmp_path):
+    """The streaming CLI (chunked, stateful, causal) writes per-speaker
+    wavs that match the offline forward up to PCM16 quantization."""
+    import jax
+    import jax.numpy as jnp
+
+    from convtasnet_tpu.cli.stream import main as stream_main
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.wavio import read_wav, write_wav
+    from convtasnet_tpu.models.conv_tasnet import forward, init_params
+    from convtasnet_tpu.training.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(N=16, L=8, B=12, H=24, P=3, X=2, R=2, C=2,
+                           norm_type="cLN", causal=True,
+                           compute_dtype="float32", use_pallas=False)
+    params, state = init_params(jax.random.key(1), cfg)
+    ckpt = str(tmp_path / "causal.ckpt")
+    save_checkpoint(ckpt, cfg, params, state)
+
+    rng = np.random.default_rng(7)
+    # 27 exact 20 ms chunks (160 samples @ 8 kHz): no tail padding in play.
+    mix = (0.05 * rng.standard_normal(4320)).astype(np.float32)
+    wav_path = str(tmp_path / "utt0.wav")
+    write_wav(wav_path, mix, 8000)
+
+    out_dir = str(tmp_path / "stream_out")
+    n = stream_main(["--model_path", ckpt, "--wav", wav_path,
+                     "--out_dir", out_dir, "--chunk_ms", "20"])
+    assert n == 1
+
+    mix_q, _ = read_wav(wav_path)  # what the CLI actually read (PCM16)
+    est, _ = forward(params, state, cfg, jnp.asarray(mix_q[None]),
+                     train=False)
+    ref = np.asarray(est)[0]
+    assert np.max(np.abs(ref)) < 0.99  # PCM16 clipping not in play
+    for c in range(cfg.C):
+        got, sr = read_wav(os.path.join(out_dir, f"utt0_s{c + 1}.wav"))
+        assert sr == 8000 and got.shape[0] == mix.shape[0]
+        np.testing.assert_allclose(got, ref[c], atol=5e-4)
+
+
+def test_stream_cli_rejects_noncausal(tmp_path):
+    import jax
+
+    from convtasnet_tpu.cli.stream import main as stream_main
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.wavio import write_wav
+    from convtasnet_tpu.models.conv_tasnet import init_params
+    from convtasnet_tpu.training.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(N=16, L=8, B=12, H=24, P=3, X=2, R=2, C=2,
+                           norm_type="gLN", causal=False,
+                           compute_dtype="float32", use_pallas=False)
+    params, state = init_params(jax.random.key(0), cfg)
+    ckpt = str(tmp_path / "gln.ckpt")
+    save_checkpoint(ckpt, cfg, params, state)
+    wav_path = str(tmp_path / "m.wav")
+    write_wav(wav_path, np.zeros(1600, np.float32), 8000)
+    with pytest.raises(SystemExit, match="causal"):
+        stream_main(["--model_path", ckpt, "--wav", wav_path,
+                     "--out_dir", str(tmp_path / "o")])
