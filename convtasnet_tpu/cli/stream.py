@@ -37,7 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--chunk_ms", default=20.0, type=float,
                    help="chunk duration = algorithmic latency; rounded up "
-                        "to an encoder-stride multiple")
+                        "to an encoder-stride multiple, with a floor of one "
+                        "encoder frame (L samples) so a chunk can be framed")
     return p
 
 
@@ -45,7 +46,7 @@ def stream_files(args) -> int:
     import jax.numpy as jnp
 
     from ..data.wavio import read_wav, write_wav
-    from ..models.streaming import StreamingSeparator, init_stream_state
+    from ..models.streaming import StreamingSeparator
     from ..training.checkpoint import load_model
     from ..utils.observability import enable_compilation_cache
 
@@ -67,7 +68,11 @@ def stream_files(args) -> int:
             f"(train with --causal 1 --norm_type cLN)")
 
     S = cfg.stride
-    chunk_len = max(int(round(args.chunk_ms / 1000.0 * args.sample_rate)), S)
+    # Floor at one encoder frame (cfg.L): the first chunk is framed with no
+    # carried tail, so anything shorter cannot form a single frame and would
+    # fail opaquely inside jit tracing.
+    chunk_len = max(int(round(args.chunk_ms / 1000.0 * args.sample_rate)),
+                    cfg.L)
     chunk_len = -(-chunk_len // S) * S  # stride multiple (stream_step req.)
     os.makedirs(args.out_dir, exist_ok=True)
 
@@ -81,8 +86,7 @@ def stream_files(args) -> int:
         padded[0, :T] = mix
 
         # Fresh stream per utterance; the jitted chunk step is reused.
-        sep.state = init_stream_state(cfg, batch=1)
-        sep._warm = 0
+        sep.reset()
 
         outs = []
         t0 = time.perf_counter()

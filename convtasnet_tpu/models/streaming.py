@@ -172,6 +172,7 @@ class StreamingSeparator:
         _check(cfg)
         self.cfg = cfg
         self.params = params
+        self._batch = batch
         self.state = init_stream_state(cfg, batch)
         self._step = jax.jit(
             lambda p, s, c: stream_step(p, s, cfg, c, first=False)
@@ -179,6 +180,14 @@ class StreamingSeparator:
         self._step_first = jax.jit(
             lambda p, s, c: stream_step(p, s, cfg, c, first=True)
         )
+        self._warm = 0
+
+    def reset(self) -> None:
+        """Reinitialize ALL mutable stream state for a fresh utterance
+        (the jitted chunk steps are kept). Callers must use this rather
+        than poking .state/._warm so future state additions can't be
+        silently carried across utterances."""
+        self.state = init_stream_state(self.cfg, batch=self._batch)
         self._warm = 0
 
     def push(self, chunk: jnp.ndarray) -> jnp.ndarray:

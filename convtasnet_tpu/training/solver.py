@@ -230,6 +230,11 @@ class Solver:
                 self.log(f"Find better validated model, saving to {path}")
             if stop:
                 break
+        # Final render bypasses the wall-clock throttle: without it, a run
+        # whose last drain lands inside iter_plot_interval would leave
+        # loss_iter.png permanently missing the final iterations.
+        if cfg.visualize and self.iter_history:
+            self._maybe_plot_iter(force=True)
         return {
             "tr_loss": self.tr_loss,
             "cv_loss": self.cv_loss,
@@ -329,12 +334,13 @@ class Solver:
                 {"iter": it, "epoch": ep, "loss": float(dev_loss)})
         self._pending_iter.clear()
 
-    def _maybe_plot_iter(self) -> None:
+    def _maybe_plot_iter(self, force: bool = False) -> None:
         """Re-render loss_iter.png, wall-clock throttled: a full matplotlib
         figure costs ~100 ms, which on a loader-bound host would eat several
-        percent of epoch time if redrawn at every print_freq point."""
+        percent of epoch time if redrawn at every print_freq point.
+        force=True bypasses the throttle (end-of-training final render)."""
         now = time.time()
-        if now - self._last_iter_plot < self.iter_plot_interval:
+        if not force and now - self._last_iter_plot < self.iter_plot_interval:
             return
         self._last_iter_plot = now
         try:
