@@ -5,7 +5,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 
-USE_PALLAS_CHOICES = ("auto", "whole", "1", "true", "0", "false",
+USE_PALLAS_CHOICES = ("auto", "whole", "hybrid", "1", "true", "0", "false",
                       "always", "keep")
 
 
@@ -32,6 +32,6 @@ def apply_use_pallas(cfg, flag: str):
         up = "whole" if jax.default_backend() == "tpu" else False
     else:
         up = {"0": False, "false": False, "1": True, "true": True,
-              "whole": "whole", "always": "always"}[flag]
+              "whole": "whole", "hybrid": "hybrid", "always": "always"}[flag]
     # Kernel choice is a runtime decision, not a model property.
     return dataclasses.replace(cfg, use_pallas=up)

@@ -72,14 +72,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="backprop rematerialization granularity")
     p.add_argument("--scan_unroll", default=1, type=int,
                    help="unroll factor for the scan over the R repeats")
-    p.add_argument("--use_pallas", default=0, type=int)
+    p.add_argument("--use_pallas", default="0", type=str.lower,
+                   choices=["0", "false", "1", "true", "always", "whole",
+                            "hybrid"],
+                   help="Pallas kernel path for training: 0 = pure XLA "
+                        "(default), 1/always = mid-chain kernels, whole = "
+                        "whole-block recompute VJP (memory tier), hybrid = "
+                        "whole-block forward + saved-residual XLA backward "
+                        "(speed tier)")
     p.add_argument("--dp", default=0, type=int,
                    help="data-parallel size (0 = all devices)")
     p.add_argument("--tp", default=1, type=int, help="tensor-parallel size")
     p.add_argument("--cp", default=1, type=int,
                    help="context-parallel size: shard the frame axis over "
-                        "a ('data','context') mesh for long sequences "
-                        "(gLN/cLN only; incompatible with --tp)")
+                        "a ('data','context') mesh for long sequences — or "
+                        "('data','model','context') when combined with --tp "
+                        "(gLN/cLN only)")
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad CV batches to a multiple to bound distinct XLA shapes")
     # Multi-host (TPU pods / multi-process CPU simulation). All three fall
@@ -116,7 +124,9 @@ def main(argv=None):
         mask_nonlinear=args.mask_nonlinear, compute_dtype=args.compute_dtype,
         remat={"0": False, "none": False, "1": "repeat"}.get(
             args.remat, args.remat),
-        use_pallas=bool(args.use_pallas),
+        use_pallas={"0": False, "false": False, "1": True, "true": True,
+                    "always": "always", "whole": "whole",
+                    "hybrid": "hybrid"}[args.use_pallas],
         scan_unroll=args.scan_unroll,
     )
     train_cfg = TrainConfig(
@@ -158,9 +168,6 @@ def main(argv=None):
     shard_batch = shard_params = None
     train_step = eval_step = None
     if args.cp > 1:
-        if args.tp > 1:
-            raise SystemExit("--cp is incompatible with --tp (TP relies on "
-                             "GSPMD auto-sharding; CP runs under shard_map)")
         import jax
         import numpy as np
         from jax.sharding import Mesh
@@ -168,11 +175,23 @@ def main(argv=None):
         from ..parallel.context import make_cp_eval_step, make_cp_train_step
 
         devices = jax.devices()
-        dp = args.dp if args.dp > 0 else max(1, len(devices) // args.cp)
-        if dp * args.cp > len(devices):
-            raise SystemExit(f"dp*cp={dp * args.cp} exceeds {len(devices)} devices")
-        mesh = Mesh(np.array(devices[: dp * args.cp]).reshape(dp, args.cp),
-                    ("data", "context"))
+        dp = args.dp if args.dp > 0 else max(
+            1, len(devices) // (args.cp * args.tp))
+        if dp * args.tp * args.cp > len(devices):
+            raise SystemExit(f"dp*tp*cp={dp * args.tp * args.cp} exceeds "
+                             f"{len(devices)} devices")
+        if args.tp > 1:
+            # TP x CP composition: the full ('data','model','context') mesh.
+            # TP rides GSPMD auto axes inside the CP shard_map body
+            # (parallel/context.py docstring); params get their TP
+            # NamedShardings via the usual mesh rules.
+            from ..parallel.mesh import make_mesh, shard_params_fn
+
+            mesh = make_mesh(dp=dp, tp=args.tp, cp=args.cp, devices=devices)
+            shard_params = shard_params_fn(mesh, args.tp)
+        else:
+            mesh = Mesh(np.array(devices[: dp * args.cp]).reshape(dp, args.cp),
+                        ("data", "context"))
         batch_axis = "data" if dp > 1 else None
         train_step = lambda opt: make_cp_train_step(  # noqa: E731
             model_cfg, opt, mesh, train_cfg.max_norm, batch_axis=batch_axis)

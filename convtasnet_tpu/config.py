@@ -67,8 +67,12 @@ class ConvTasNetConfig:
     # (conv_tasnet.py:315-317). True reproduces that behavior; False keeps
     # gamma=1, beta=0.
     reference_norm_init: bool = True
-    # Pallas kernels for the hot ops: False = pure XLA; True = use where
-    # measured faster (inference forward); "always" = also in training.
+    # Pallas kernels for the hot ops: False = pure XLA; True = mid-chain
+    # kernels where measured faster (inference forward); "always" = mid-
+    # chain also in training; "whole" = whole-block kernel (inference) +
+    # recompute custom-VJP backward kernel (training, memory tier);
+    # "hybrid" = whole-block forward that saves the y1/c residuals + a
+    # no-remat fused-XLA backward (training speed tier).
     use_pallas: object = False
 
     def __post_init__(self):

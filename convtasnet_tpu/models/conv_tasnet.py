@@ -207,7 +207,7 @@ def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
     overlap the surrounding matmuls), so use_pallas=True enables the
     kernels for inference only and use_pallas="always" forces them in
     training too."""
-    if not cfg.use_pallas or cfg.use_pallas == "whole":
+    if not cfg.use_pallas or cfg.use_pallas in ("whole", "hybrid"):
         return False
     if cfg.norm_type == "BN" or bstate is not None:
         return False
@@ -222,22 +222,28 @@ def _use_fused_whole(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
                      train: bool = False) -> bool:
     """Whole-block kernel (both 1x1 matmuls inside; fused_whole_block.py):
     stateless norms, and the x/conv/two-pass slabs plus weights must fit
-    VMEM. Training runs through the custom-VJP backward kernel
-    (whole_block_vjp.py), which keeps four [K(+2*span), H] slabs plus the
-    pipelined [K, B] x/g/dx blocks resident — a larger VMEM footprint than
-    the forward, checked separately."""
-    if cfg.use_pallas != "whole":
+    VMEM. Training runs through either the recompute custom-VJP backward
+    kernel ("whole", whole_block_vjp.py — keeps four [K(+2*span), H] slabs
+    plus the pipelined [K, B] x/g/dx blocks resident) or the hybrid path
+    ("hybrid", whole_block_hybrid.py — the forward additionally keeps the
+    y1/c residual slabs in VMEM while streaming them to HBM), checked
+    separately."""
+    if cfg.use_pallas not in ("whole", "hybrid"):
         return False
     if cfg.norm_type == "BN" or bstate is not None:
         return False
     K = -(-x.shape[1] // 128) * 128
     it = cfg.dtype.itemsize
     span = (cfg.P - 1) * 2 ** (cfg.X - 1)
-    if train:
+    if train and cfg.use_pallas == "whole":
         need = (2 * K * cfg.H + 2 * (K + 2 * span) * cfg.H  # y1/c + b/dz
                 + 6 * K * cfg.B                             # x/g/dx pipelined
                 ) * it + 12 * cfg.B * cfg.H                 # f32 w-grad accums
         return need <= 96 * 1024 * 1024
+    if train:  # hybrid: forward kernel with resident y1/c residual slabs
+        need = (2 * K * cfg.B + (K + 2 * span) * cfg.H + 2 * K * cfg.H
+                + 2 * cfg.B * cfg.H) * it
+        return need <= 30 * 1024 * 1024
     need = (2 * K * cfg.B + (K + 2 * span) * cfg.H + K * cfg.H
             + 2 * cfg.B * cfg.H) * it
     return need <= 13 * 1024 * 1024
@@ -290,7 +296,12 @@ def separate(
             bp = {k: v[xi] for k, v in bp_r.items()}
             bs = {k: v[xi] for k, v in bs_r.items()} if bs_r is not None else None
             if fused_whole:
-                if train:
+                if train and cfg.use_pallas == "hybrid":
+                    # Hybrid: forward kernel saves the y1/c mid-chain
+                    # residuals; backward is fused XLA consuming them
+                    # (no-remat, whole_block_hybrid.py).
+                    from ..ops.pallas.whole_block_hybrid import whole_block_hybrid as _wb
+                elif train:
                     # Custom-VJP path: backward is one Pallas kernel that
                     # recomputes the mid-chain from the saved [M, K, B]
                     # block input (whole_block_vjp.py).

@@ -24,6 +24,16 @@ The whole path is differentiable: shard_map transposes ppermute/psum, so
 `make_cp_train_step` trains with the frame axis sharded — halo-exchange
 gradients and gLN stat all-reduces flow through the backward pass
 (gradient-parity-tested vs single device in tests/test_context.py).
+
+Composition with tensor parallelism (TP x CP, the SURVEY §7
+('data','model','context') mesh): when the mesh carries a 'model' axis,
+shard_map runs MANUAL over ('data','context') only and leaves 'model'
+as an AUTO axis — inside the body the arrays keep their global H extent
+and GSPMD inserts the TP collectives (the in_w/out_w psum pair, sharded
+norm-stat reductions) exactly as it does on the pjit DP x TP path, while
+the hand-written halo ppermutes and gLN psums ride the manual axes.
+Parameters enter with their TP NamedShardings (parallel/mesh.py rules)
+untouched by the in_specs.
 """
 
 from __future__ import annotations
@@ -54,11 +64,17 @@ def cp_padded_frames(cfg: ConvTasNetConfig, T: int, n: int) -> int:
 
 
 def _cp_shard_body(frames, params, state, cfg: ConvTasNetConfig, train: bool,
-                   axis: str):
+                   axis: str, has_auto: bool = False):
     """Runs on one shard: frames [M, K_loc, L] -> (body, tail).
 
     body: [M, C, K_loc*S] waveform samples owned by this shard.
     tail: [M, C, L-S] this shard's unconsumed OLA tail.
+
+    has_auto: the mesh carries GSPMD-auto axes (TP's 'model'); the mask is
+    then explicitly constrained back to replicated before the decoder so
+    the body outputs match the manual-only out_specs (GSPMD's propagation
+    may otherwise keep the C*N-sharded mask sharding through to the
+    waveform outputs).
     """
     dt = cfg.dtype
     S = cfg.stride
@@ -70,6 +86,8 @@ def _cp_shard_body(frames, params, state, cfg: ConvTasNetConfig, train: bool,
     w = jnp.maximum(w, 0.0).astype(dt)
     # Separator with CP collectives.
     mask, _ = separate(params, state, cfg, w, train, axis_name=axis)
+    if has_auto:
+        mask = jax.lax.with_sharding_constraint(mask, P())
     # Decoder matmul (per-frame, local).
     source_w = w[:, :, None, :] * mask
     est_frames = jnp.einsum(
@@ -129,13 +147,24 @@ def cp_forward(
 
     from jax import shard_map
 
-    body_fn = partial(_cp_shard_body, cfg=cfg, train=train, axis=axis)
+    # Manual only over the context (and batch) axes; any other mesh axis
+    # (e.g. 'model' for TP) stays AUTO: GSPMD shards the body's matmuls
+    # and norm reductions over it, composing TP with the manual CP
+    # collectives (see module docstring).
+    manual = {axis} | ({batch_axis} if batch_axis is not None else set())
+    kwargs = {}
+    has_auto = bool(set(mesh.axis_names) - manual)
+    if has_auto:
+        kwargs["axis_names"] = manual
+    body_fn = partial(_cp_shard_body, cfg=cfg, train=train, axis=axis,
+                      has_auto=has_auto)
     sharded = shard_map(
         body_fn,
         mesh=mesh,
         in_specs=(P(batch_axis, axis, None), P(), P()),
         out_specs=(P(batch_axis, None, axis), P(batch_axis, None, axis)),
         check_vma=False,
+        **kwargs,
     )
     body, tails = sharded(frames, params, state)
     # body: [M, C, K_pad*S] globally; tails: [M, C, n*(L-S)] — only the

@@ -28,16 +28,23 @@ from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp: int = 0, tp: int = 1, devices=None) -> Mesh:
-    """Build a ('data', 'model') mesh. dp<=0 means 'all remaining devices'."""
+def make_mesh(dp: int = 0, tp: int = 1, cp: int = 1, devices=None) -> Mesh:
+    """Build a ('data', 'model') mesh — or the full SURVEY §7
+    ('data', 'model', 'context') mesh when cp > 1 (TP x CP composition:
+    'model' rides GSPMD auto-sharding inside the CP shard_map body, see
+    parallel/context.py). dp<=0 means 'all remaining devices'."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp <= 0:
-        if n % tp != 0:
-            raise ValueError(f"{n} devices not divisible by tp={tp}")
-        dp = n // tp
-    if dp * tp > n:
-        raise ValueError(f"dp*tp={dp*tp} exceeds {n} devices")
+        if n % (tp * cp) != 0:
+            raise ValueError(f"{n} devices not divisible by tp*cp={tp * cp}")
+        dp = n // (tp * cp)
+    if dp * tp * cp > n:
+        raise ValueError(f"dp*tp*cp={dp * tp * cp} exceeds {n} devices")
+    if cp > 1:
+        grid = mesh_utils.create_device_mesh(
+            (dp, tp, cp), devices=devices[: dp * tp * cp])
+        return Mesh(grid, ("data", "model", "context"))
     grid = mesh_utils.create_device_mesh((dp, tp), devices=devices[: dp * tp])
     return Mesh(grid, ("data", "model"))
 

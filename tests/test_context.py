@@ -203,3 +203,105 @@ def test_cp_train_step_parity(axes, batch_axis):
     ):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-5, err_msg=str(pa))
+
+
+# ---------------------------------------------------------------------------
+# TP x CP composition: the full ('data', 'model', 'context') mesh
+# (SURVEY §7 design stance; VERDICT round-2 item 3). TP rides GSPMD auto
+# axes inside the manual CP shard_map body.
+# ---------------------------------------------------------------------------
+
+def test_tp_cp_forward_parity():
+    """dp=2 x tp=2 x cp=2 forward == single-device forward on the padded
+    signal, with params TP-sharded via the mesh rules."""
+    from convtasnet_tpu.parallel.mesh import make_mesh, shard_params_fn
+
+    cfg = ConvTasNetConfig(**TINY)
+    params, state = init_params(jax.random.key(0), cfg)
+    mesh = make_mesh(dp=2, tp=2, cp=2)
+    assert mesh.axis_names == ("data", "model", "context")
+    params_s, state_s, _ = shard_params_fn(mesh, tp=2)(params, state, None)
+    # H axis of in_w really is sharded over 'model'.
+    spec = params_s["separator"]["blocks"]["in_w"].sharding.spec
+    assert "model" in str(spec)
+
+    mix = _input_for_k(cfg, K=64)
+    K_pad = cp_padded_frames(cfg, mix.shape[-1], 2)
+    T_need = (K_pad - 1) * cfg.stride + cfg.L
+    mix_pad = jnp.pad(mix, ((0, 0), (0, max(0, T_need - mix.shape[-1]))))
+    ref, _ = forward(params, state, cfg, mix_pad)
+
+    got = jax.jit(lambda p, s, m: cp_forward(
+        p, s, cfg, m, mesh, train=False, batch_axis="data"))(
+        params_s, state_s, mix)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref[:, :, : mix.shape[-1]]),
+        rtol=1e-4, atol=1e-5)
+
+
+def test_tp_cp_train_step_parity():
+    """Three dp=2 x tp=2 x cp=2 train steps == three single-device steps
+    (loss trajectory and final params)."""
+    from convtasnet_tpu.ops.loss import cal_loss
+    from convtasnet_tpu.parallel.mesh import make_mesh, shard_params_fn
+
+    cfg = ConvTasNetConfig(**TINY)
+    opt = Optimizer("adam", lr=1e-3)
+    rng = np.random.default_rng(13)
+    T = (64 - 1) * cfg.stride + cfg.L
+    src = jnp.asarray(rng.standard_normal((2, 2, T)).astype(np.float32) * 0.3)
+    mix = src.sum(1)
+    lengths = jnp.asarray([T, T - 17], jnp.int32)
+
+    mesh = make_mesh(dp=2, tp=2, cp=2)
+
+    def run_tp_cp():
+        params, state = init_params(jax.random.key(7), cfg)
+        opt_state = opt.init(params)
+        params, state, opt_state = shard_params_fn(mesh, tp=2)(
+            params, state, opt_state)
+        step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0,
+                                  batch_axis="data")
+        losses = []
+        for _ in range(3):
+            params, opt_state, state, loss, _ = step(
+                params, opt_state, state, mix, src, lengths)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    def run_ref():
+        params, state = init_params(jax.random.key(7), cfg)
+        opt_state = opt.init(params)
+        K_pad = cp_padded_frames(cfg, T, 2)
+        T_need = (K_pad - 1) * cfg.stride + cfg.L
+        mix_p = jnp.pad(mix, ((0, 0), (0, max(0, T_need - T))))
+        src_p = jnp.pad(src, ((0, 0), (0, 0), (0, max(0, T_need - T))))
+
+        @jax.jit
+        def step(params, opt_state, mix_, src_, lengths_):
+            def loss_fn(p):
+                est, _ = forward(p, state, cfg, mix_, train=True)
+                loss, *_ = cal_loss(src_, est, lengths_)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads, _ = clip_by_global_norm(grads, 5.0)
+            params, opt_state = opt.update(grads, opt_state, params)
+            return params, opt_state, loss
+
+        losses = []
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, mix_p, src_p,
+                                           lengths)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    got_losses, got_params = run_tp_cp()
+    ref_losses, ref_params = run_ref()
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_params),
+        jax.tree_util.tree_leaves_with_path(got_params),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-5, err_msg=str(pa))

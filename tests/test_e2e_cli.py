@@ -104,6 +104,30 @@ def test_train_cli_cp(dataset, tmp_path):
     assert os.path.exists(os.path.join(save, "final.ckpt"))
 
 
+def test_train_cli_tp_cp(dataset, tmp_path):
+    """--tp 2 --cp 2 (implicit dp=2): the full ('data','model','context')
+    mesh runs from the CLI — TP rides GSPMD auto axes inside the CP
+    shard_map body — and the loss falls."""
+    _, json_root = dataset
+    save = str(tmp_path / "exp_tp_cp")
+    from convtasnet_tpu.cli.train import main as train_main
+
+    out = train_main([
+        "--train_dir", os.path.join(json_root, "tr"),
+        "--valid_dir", os.path.join(json_root, "cv"),
+        "--segment", "1.0", "--batch_size", "4",
+        "--N", "16", "--L", "8", "--B", "12", "--H", "24",
+        "--X", "2", "--R", "2", "--epochs", "2",
+        "--compute_dtype", "float32", "--num_workers", "2",
+        "--save_folder", save, "--print_freq", "50",
+        "--tp", "2", "--cp", "2",
+    ])
+    assert len(out["tr_loss"]) == 2
+    assert out["tr_loss"][1] < out["tr_loss"][0]
+    assert np.isfinite(out["cv_loss"]).all()
+    assert os.path.exists(os.path.join(save, "final.ckpt"))
+
+
 def test_stream_cli_matches_offline(tmp_path):
     """The streaming CLI (chunked, stateful, causal) writes per-speaker
     wavs that match the offline forward up to PCM16 quantization."""

@@ -1,0 +1,109 @@
+"""Compare training-step paths at the paper config on the real chip.
+
+Usage: python tools/bench_train_paths.py [path ...] [--batch N]
+  path in {xla, dots, whole, hybrid}; default: xla hybrid
+
+Prints one JSON line per path with step/fwd ms. Timing ends every chain
+with a real device->host fetch (axon tunnel: block_until_ready can return
+early), and amortizes the fetch RTT over the chain length.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import _cache  # noqa: E402
+
+_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("paths", nargs="*", default=["xla", "hybrid"])
+    ap.add_argument("--batch", type=int, default=5)
+    ap.add_argument("--steps", type=int, default=40)
+    args = ap.parse_args()
+    paths = args.paths or ["xla", "hybrid"]
+
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.synthetic import synthetic_batch
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet, forward
+    from convtasnet_tpu.ops.loss import cal_loss
+    from convtasnet_tpu.training.optim import Optimizer
+    from convtasnet_tpu.training.solver import make_train_step
+
+    seg_sec, sr = 4.0, 8000
+    T = int(seg_sec * sr)
+    mix, lens, src = synthetic_batch(
+        np.random.default_rng(0), args.batch, 2, T, sr)
+    mix, lens, src = jnp.asarray(mix), jnp.asarray(lens), jnp.asarray(src)
+
+    for path in paths:
+        kw = dict(remat=False, scan_unroll=4)
+        if path == "dots":
+            kw = dict(remat="dots", scan_unroll=4)
+        elif path == "whole":
+            kw["use_pallas"] = "whole"
+        elif path == "hybrid":
+            kw["use_pallas"] = "hybrid"
+        cfg = ConvTasNetConfig(**kw)
+        model = ConvTasNet(cfg)
+        opt = Optimizer("adam", lr=1e-3)
+        params, state = model.init(jax.random.key(0))
+        opt_state = opt.init(params)
+        step = make_train_step(model, opt, max_norm=5.0)
+
+        @jax.jit
+        def fwd_loss(p, s, m, y, n):
+            est, _ = forward(p, s, cfg, m, train=True)
+            loss, *_ = cal_loss(y, est, n)
+            return loss
+
+        def time_chain(fn, read, n, *a):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn(*a)
+            read(out)
+            return time.perf_counter() - t0
+
+        # --- full step ---
+        p, o, s = params, opt_state, state
+        for _ in range(2):
+            p, o, s, loss, _ = step(p, o, s, mix, src, lens)
+        float(loss)
+
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            p, o, s, loss, _ = step(p, o, s, mix, src, lens)
+        float(loss)
+        step_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
+        # --- forward(train=True) alone (fresh loss each call; chain via
+        # dummy dependency is unnecessary: calls are independent but queue
+        # back-to-back on device; final float() drains the queue) ---
+        losses = [fwd_loss(params, state, mix, src, lens) for _ in range(2)]
+        float(losses[-1])
+        t0 = time.perf_counter()
+        losses = [fwd_loss(params, state, mix, src, lens)
+                  for _ in range(args.steps)]
+        float(losses[-1])
+        fwd_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
+        print(json.dumps({
+            "path": path, "batch": args.batch,
+            "step_ms": round(step_ms, 3),
+            "fwd_ms": round(fwd_ms, 3),
+            "audio_sps": round(args.batch * seg_sec / (step_ms / 1e3), 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
