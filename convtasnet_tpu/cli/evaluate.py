@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "a bounded set of shapes instead of one per length "
                         "(lengths stay exact; only gLN statistics see the "
                         "padding, matching batch-max padding semantics)")
+    p.add_argument("--dp", default=1, type=int,
+                   help="data-parallel size: shard eval batches over a "
+                        "device mesh (0 = all devices; batches that don't "
+                        "divide are zero-row-padded, metrics unchanged)")
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel size for the forward pass")
     return p
 
 
@@ -49,6 +55,20 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
 
     cfg, params, state = load_model(args.model_path)
     cfg = apply_use_pallas(cfg, args.use_pallas)
+
+    # DP/TP evaluation (round-3: the reference evals single-device;
+    # on a multi-chip host that leaves (n-1)/n of the machine idle).
+    # Batches shard over 'data' with zero-row padding (exact metrics);
+    # params take the TP NamedShardings when tp > 1.
+    shard_batch = None
+    dp, tp = getattr(args, "dp", 1), getattr(args, "tp", 1)
+    if dp != 1 or tp != 1:
+        from ..parallel.mesh import make_mesh, shard_batch_fn, shard_params_fn
+
+        mesh = make_mesh(dp=dp, tp=tp)
+        params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
+        shard_batch = shard_batch_fn(mesh)
+
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,
         segment=-1, cv_maxlen=args.cv_maxlen, num_speakers=cfg.C,
@@ -74,8 +94,14 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
         device->host transfer behind the numpy metric work."""
         pending = None
         for batch in loader:
-            fut = infer(jnp.asarray(batch.mixture), jnp.asarray(batch.source),
-                        jnp.asarray(batch.lengths))
+            if shard_batch is not None:
+                mix_d, len_d, src_d = shard_batch(
+                    batch.mixture, batch.lengths, batch.source)
+            else:
+                mix_d, len_d, src_d = (jnp.asarray(batch.mixture),
+                                       jnp.asarray(batch.lengths),
+                                       jnp.asarray(batch.source))
+            fut = infer(mix_d, src_d, len_d)
             if pending is not None:
                 yield pending[0], np.asarray(pending[1])
             pending = (batch, fut)

@@ -31,6 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pad_to_multiple", default=1, type=int,
                    help="pad mixtures to a sample multiple to bound the "
                         "number of compiled shapes")
+    p.add_argument("--dp", default=1, type=int,
+                   help="data-parallel size: shard batches over a device "
+                        "mesh (0 = all devices; zero-row padding, outputs "
+                        "unchanged)")
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel size for the forward pass")
     return p
 
 
@@ -48,6 +54,18 @@ def separate(args) -> int:
 
     cfg, params, state = load_model(args.model_path)
     cfg = apply_use_pallas(cfg, args.use_pallas)
+
+    # DP/TP inference over a device mesh (zero-row batch padding; the
+    # padded rows are never written). See cli/evaluate.py.
+    shard_batch = None
+    dp, tp = getattr(args, "dp", 1), getattr(args, "tp", 1)
+    if dp != 1 or tp != 1:
+        from ..parallel.mesh import make_mesh, shard_batch_fn, shard_params_fn
+
+        mesh = make_mesh(dp=dp, tp=tp)
+        params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
+        shard_batch = shard_batch_fn(mesh)
+
     dataset = EvalDataset(args.mix_dir, args.mix_json,
                           batch_size=args.batch_size,
                           sample_rate=args.sample_rate,
@@ -69,7 +87,11 @@ def separate(args) -> int:
         # wav encoding + disk writes (see evaluate.py).
         pending = None
         for batch in loader:
-            fut = infer(jnp.asarray(batch.mixture))
+            if shard_batch is not None:
+                mix_d, _, _ = shard_batch(batch.mixture, batch.lengths, None)
+            else:
+                mix_d = jnp.asarray(batch.mixture)
+            fut = infer(mix_d)
             if pending is not None:
                 yield pending[0], np.asarray(pending[1])
             pending = (batch, fut)

@@ -74,7 +74,19 @@ def main():
             read(out)
             return time.perf_counter() - t0
 
-        # --- full step ---
+        # --- forward(train=True) alone, FIRST: the step loop below donates
+        # params/opt_state/state buffers (fresh loss each call; calls are
+        # independent but queue back-to-back on device; final float()
+        # drains the queue) ---
+        losses = [fwd_loss(params, state, mix, src, lens) for _ in range(2)]
+        float(losses[-1])
+        t0 = time.perf_counter()
+        losses = [fwd_loss(params, state, mix, src, lens)
+                  for _ in range(args.steps)]
+        float(losses[-1])
+        fwd_ms = (time.perf_counter() - t0) / args.steps * 1e3
+
+        # --- full step (donates its inputs; params/state not reused after) ---
         p, o, s = params, opt_state, state
         for _ in range(2):
             p, o, s, loss, _ = step(p, o, s, mix, src, lens)
@@ -85,17 +97,6 @@ def main():
             p, o, s, loss, _ = step(p, o, s, mix, src, lens)
         float(loss)
         step_ms = (time.perf_counter() - t0) / args.steps * 1e3
-
-        # --- forward(train=True) alone (fresh loss each call; chain via
-        # dummy dependency is unnecessary: calls are independent but queue
-        # back-to-back on device; final float() drains the queue) ---
-        losses = [fwd_loss(params, state, mix, src, lens) for _ in range(2)]
-        float(losses[-1])
-        t0 = time.perf_counter()
-        losses = [fwd_loss(params, state, mix, src, lens)
-                  for _ in range(args.steps)]
-        float(losses[-1])
-        fwd_ms = (time.perf_counter() - t0) / args.steps * 1e3
 
         print(json.dumps({
             "path": path, "batch": args.batch,
