@@ -6,8 +6,6 @@ import numpy as np
 import pytest
 
 from convtasnet_tpu.ops.pallas.fused_block import fused_tcn_mid, mid_reference
-from convtasnet_tpu.ops.pallas.gln import gln
-from convtasnet_tpu.ops.norms import global_layer_norm
 
 
 def _mid_inputs(rng, M=2, K=37, H=16, P=3):
@@ -19,32 +17,6 @@ def _mid_inputs(rng, M=2, K=37, H=16, P=3):
     b2 = rng.standard_normal(H).astype(np.float32)
     w = rng.standard_normal((P, H)).astype(np.float32)
     return tuple(map(jnp.asarray, (y, a1, g1, b1, w, a2, g2, b2)))
-
-
-def test_gln_kernel_matches_reference(rng):
-    x = jnp.asarray(rng.standard_normal((3, 24, 16)).astype(np.float32))
-    g = jnp.asarray(rng.standard_normal(16).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
-    got = gln(x, g, b, True)
-    want = global_layer_norm(x, g, b)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
-
-
-def test_gln_kernel_grad_matches(rng):
-    x = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
-    g = jnp.asarray(rng.standard_normal(8).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
-
-    def f_k(x, g, b):
-        return jnp.sum(jnp.sin(gln(x, g, b, True)))
-
-    def f_r(x, g, b):
-        return jnp.sum(jnp.sin(global_layer_norm(x, g, b)))
-
-    gk = jax.grad(f_k, argnums=(0, 1, 2))(x, g, b)
-    gr = jax.grad(f_r, argnums=(0, 1, 2))(x, g, b)
-    for a_, b_ in zip(gk, gr):
-        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("norm_type", ["gLN", "cLN"])
