@@ -61,8 +61,17 @@ def _dprelu(v, alpha):
 
 def _hybrid_bwd_math(x, y1, c, g, in_w, alpha1, gamma1, beta1, w, alpha2,
                      gamma2, beta2, out_w, norm_type, dilation, causal, K):
-    """Pure-jnp backward consuming the saved residuals. All stats f32;
-    activation-dtype rounding at the same points as the forward kernel."""
+    """Pure-jnp backward consuming the saved residuals.
+
+    PRECISION POLICY (this is what makes the path fast): every wide
+    [M, K, H] elementwise tensor stays in the ACTIVATION dtype — the
+    backward is HBM-bandwidth bound (each fused pass streams ~16 MB/block
+    at bf16; an all-f32 version measured 17.6 ms vs XLA's own 10.7 ms
+    no-remat backward purely from doubled traffic) — while everything
+    narrow is exact: norm statistics, all reductions (jnp.sum/mean with
+    dtype=f32), matmul accumulators (preferred_element_type=f32), and
+    all parameter gradients. This mirrors XLA's own backward of a bf16
+    forward: bf16 streams, f32 accumulation."""
     M, K_pad, B = x.shape
     P, H = w.shape
     span = (P - 1) * dilation
@@ -72,12 +81,12 @@ def _hybrid_bwd_math(x, y1, c, g, in_w, alpha1, gamma1, beta1, w, alpha2,
     f32 = jnp.float32
     gln = norm_type == "gLN"
 
-    a1 = jnp.asarray(alpha1, f32)
-    a2 = jnp.asarray(alpha2, f32)
-    g1 = gamma1.reshape(1, 1, H).astype(f32)
-    b1 = beta1.reshape(1, 1, H).astype(f32)
-    g2 = gamma2.reshape(1, 1, H).astype(f32)
-    wf = w.astype(f32)
+    a1 = jnp.asarray(alpha1, dt)
+    a2 = jnp.asarray(alpha2, dt)
+    g1 = gamma1.reshape(1, 1, H).astype(dt)
+    b1 = beta1.reshape(1, 1, H).astype(dt)
+    g2 = gamma2.reshape(1, 1, H).astype(dt)
+    w_dt = w.astype(dt)
     in_w_dt = in_w.astype(dt)
     out_w_dt = out_w.astype(dt)
 
@@ -85,97 +94,105 @@ def _hybrid_bwd_math(x, y1, c, g, in_w, alpha1, gamma1, beta1, w, alpha2,
         mask = (jnp.arange(K_pad) < K)[None, :, None]
 
         def rmask(v):
-            return jnp.where(mask, v, 0)
+            return jnp.where(mask, v, jnp.zeros((), v.dtype))
     else:
         def rmask(v):
             return v
 
     def gmean(v):
-        # gLN mean over the n = K*H valid elements, per batch item.
-        return jnp.sum(v, axis=(1, 2), keepdims=True) / n
+        # gLN mean over the n = K*H valid elements, per item; f32 accum.
+        return (jnp.sum(v, axis=(1, 2), keepdims=True, dtype=f32) / n)
 
     def rstats(v):
-        mean = jnp.mean(v, axis=-1, keepdims=True)
-        d = v - mean
+        mean = jnp.mean(v.astype(f32), axis=-1, keepdims=True)
+        d = v.astype(f32) - mean
         var = jnp.mean(d * d, axis=-1, keepdims=True)
         return mean, jax.lax.rsqrt(var + EPS)
 
     # ---- Recompute normalized activations from the saved slabs ----
-    y1f = y1.astype(f32)  # pad rows exact zeros (kernel contract)
-    a = _prelu(y1f, a1)
+    # (pad rows of y1 are exact zeros by the kernel contract)
+    a = _prelu(y1, a1)  # dt
     if gln:
         mu1 = gmean(a)
         inv1 = jax.lax.rsqrt(
-            jnp.maximum(gmean(a * a) - mu1 * mu1, 0.0) + EPS)
+            jnp.maximum(gmean(a.astype(f32) * a.astype(f32))
+                        - mu1 * mu1, 0.0) + EPS)
     else:
         mu1, inv1 = rstats(a)
-    ahat = (a - mu1) * inv1
+    ahat = ((a - mu1.astype(dt)) * inv1.astype(dt))  # dt stream
     b = rmask(g1 * ahat + b1)  # forward forces b pad rows to zero
 
-    cf = rmask(c.astype(f32))  # kernel does NOT mask stored c pad rows
+    cf = rmask(c)  # kernel does NOT mask stored c pad rows
     e = _prelu(cf, a2)
     if gln:
         mu2 = gmean(e)
         inv2 = jax.lax.rsqrt(
-            jnp.maximum(gmean(e * e) - mu2 * mu2, 0.0) + EPS)
+            jnp.maximum(gmean(e.astype(f32) * e.astype(f32))
+                        - mu2 * mu2, 0.0) + EPS)
     else:
         mu2, inv2 = rstats(e)
-    ehat = (e - mu2) * inv2
-    z_dt = (g2 * ehat + beta2.reshape(1, 1, H).astype(f32)).astype(dt)
+    ehat = ((e - mu2.astype(dt)) * inv2.astype(dt))
+    z_dt = g2 * ehat + beta2.reshape(1, 1, H).astype(dt)
 
     # ---- out_w backward ----
-    gm = rmask(g.astype(f32))
-    g_dt = gm.astype(dt)
+    g_dt = rmask(g.astype(dt))
     dz = jnp.einsum("mkb,hb->mkh", g_dt, out_w_dt,
-                    preferred_element_type=f32)
+                    preferred_element_type=f32).astype(dt)
     dout_w = jnp.einsum("mkh,mkb->hb", z_dt, g_dt,
                         preferred_element_type=f32)
 
     # ---- norm2 / prelu2 backward ----
-    dg2 = jnp.sum(dz * ehat, axis=(0, 1))
-    db2 = jnp.sum(dz, axis=(0, 1))
+    dg2 = jnp.sum(dz.astype(f32) * ehat.astype(f32), axis=(0, 1))
+    db2 = jnp.sum(dz, axis=(0, 1), dtype=f32)
     dzg = dz * g2
     if gln:
-        de = inv2 * (dzg - gmean(dzg) - ehat * gmean(dzg * ehat))
+        de = inv2.astype(dt) * (dzg - gmean(dzg).astype(dt)
+                                - ehat * gmean(dzg * ehat).astype(dt))
     else:
-        de = inv2 * (dzg - jnp.mean(dzg, -1, keepdims=True)
-                     - ehat * jnp.mean(dzg * ehat, -1, keepdims=True))
+        de = inv2.astype(dt) * (
+            dzg - jnp.mean(dzg.astype(f32), -1, keepdims=True).astype(dt)
+            - ehat * jnp.mean((dzg * ehat).astype(f32), -1,
+                              keepdims=True).astype(dt))
     de = rmask(de)
-    da2 = jnp.sum(de * jnp.minimum(cf, 0.0))
+    da2 = jnp.sum(de.astype(f32) * jnp.minimum(cf, 0).astype(f32))
     dc = de * _dprelu(cf, a2)
 
     # ---- depthwise conv backward (shift-and-sum, static offsets) ----
     bp = jnp.pad(b, ((0, 0), (left, span - left), (0, 0)))
     dw = jnp.stack([
-        jnp.sum(dc * bp[:, p * dilation:p * dilation + K_pad, :],
+        jnp.sum(dc.astype(f32)
+                * bp[:, p * dilation:p * dilation + K_pad, :].astype(f32),
                 axis=(0, 1))
         for p in range(P)
-    ])  # [P, H]
+    ])  # [P, H] f32
     dcp = jnp.pad(dc, ((0, 0), (span - left, left), (0, 0)))
     db = None
     for p in range(P):
-        tap = wf[p][None, None, :] * dcp[
+        tap = w_dt[p][None, None, :] * dcp[
             :, span - p * dilation:span - p * dilation + K_pad, :]
         db = tap if db is None else db + tap
     db = rmask(db)
 
     # ---- norm1 / prelu1 backward ----
-    dg1 = jnp.sum(db * ahat, axis=(0, 1))
-    db1 = jnp.sum(db, axis=(0, 1))
+    dg1 = jnp.sum(db.astype(f32) * ahat.astype(f32), axis=(0, 1))
+    db1 = jnp.sum(db, axis=(0, 1), dtype=f32)
     dbg = db * g1
     if gln:
-        da = inv1 * (dbg - gmean(dbg) - ahat * gmean(dbg * ahat))
+        da = inv1.astype(dt) * (dbg - gmean(dbg).astype(dt)
+                                - ahat * gmean(dbg * ahat).astype(dt))
     else:
-        da = inv1 * (dbg - jnp.mean(dbg, -1, keepdims=True)
-                     - ahat * jnp.mean(dbg * ahat, -1, keepdims=True))
+        da = inv1.astype(dt) * (
+            dbg - jnp.mean(dbg.astype(f32), -1, keepdims=True).astype(dt)
+            - ahat * jnp.mean((dbg * ahat).astype(f32), -1,
+                              keepdims=True).astype(dt))
     da = rmask(da)
-    da1 = jnp.sum(da * jnp.minimum(y1f, 0.0))
-    dy1_dt = (da * _dprelu(y1f, a1)).astype(dt)
+    da1 = jnp.sum(da.astype(f32) * jnp.minimum(y1, 0).astype(f32))
+    dy1_dt = da * _dprelu(y1, a1)
 
     # ---- in_w backward + residual path ----
-    dx = jnp.einsum("mkh,bh->mkb", dy1_dt, in_w_dt,
-                    preferred_element_type=f32) + gm
-    dx = rmask(dx).astype(dt)
+    dx = (jnp.einsum("mkh,bh->mkb", dy1_dt, in_w_dt,
+                     preferred_element_type=f32).astype(dt) + g_dt)
+    dx = rmask(dx)
     din_w = jnp.einsum("mkb,mkh->bh", x, dy1_dt, preferred_element_type=f32)
 
     return (dx, din_w.astype(in_w.dtype), da1.astype(f32),
