@@ -288,6 +288,36 @@ def separate(
         if K_pad != K:
             x = jnp.pad(x, ((0, 0), (0, K_pad - K), (0, 0)))
 
+    # Whole-TCN mega-kernel (inference): all R*X blocks in ONE kernel,
+    # residual stream resident in VMEM across blocks, block weights
+    # fetched once — ~64x less HBM traffic than per-block kernels
+    # (ops/pallas/whole_tcn.py). Falls back to the per-block kernel when
+    # the VMEM footprint (weights + slabs) doesn't fit.
+    if fused_whole and not train:
+        from ..ops.pallas.whole_tcn import tcn_vmem_need, whole_tcn_pallas
+
+        K_pad = x.shape[1]
+        if tcn_vmem_need(K_pad, cfg.B, cfg.H, cfg.R * cfg.X, cfg.P, cfg.X,
+                         cfg.dtype.itemsize) <= 100 * 1024 * 1024:
+            bp = {k: v.reshape((-1,) + v.shape[2:])
+                  for k, v in block_params.items()}
+            x = whole_tcn_pallas(
+                x, bp["in_w"], bp["in_prelu"], bp["in_gamma"],
+                bp["in_beta"], bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"],
+                bp["dw_beta"], bp["out_w"], cfg.norm_type, cfg.causal,
+                cfg.X, jax.default_backend() == "cpu",
+                fused_valid_k if fused_valid_k != K_pad else None,
+            )
+            if x.shape[1] != K:
+                x = x[:, :K, :]
+            score = pointwise(x, sp["mask"]["w"], dt)  # [M, K, C*N] f32
+            score = score.reshape(M, K, cfg.C, N)
+            if cfg.mask_nonlinear == "softmax":
+                mask = jax.nn.softmax(score, axis=2)
+            else:
+                mask = jnp.maximum(score, 0.0)
+            return mask.astype(dt), state
+
     def repeat_body(carry, xs):
         x = carry
         bp_r, bs_r = xs

@@ -133,4 +133,7 @@ def test_iter_plot_wall_clock_throttle(tmp_path, monkeypatch):
     # Every train iteration captured: 2 batches x 2 epochs, in order.
     assert [p["iter"] for p in solver.iter_history] == [1, 2, 3, 4]
     assert not solver._pending_iter  # all drained at sync points
-    assert renders == [1]  # a single render, at the first drain
+    # One throttled render at the first drain, plus the unconditional
+    # final render after training (so the persisted PNG always reflects
+    # the complete history — ADVICE round-2 item 2).
+    assert renders == [1, 4]
