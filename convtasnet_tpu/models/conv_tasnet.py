@@ -288,20 +288,34 @@ def separate(
         if K_pad != K:
             x = jnp.pad(x, ((0, 0), (0, K_pad - K), (0, 0)))
 
-    # Whole-TCN mega-kernel (inference): all R*X blocks in ONE kernel,
-    # residual stream resident in VMEM across blocks, block weights
-    # fetched once — ~64x less HBM traffic than per-block kernels
-    # (ops/pallas/whole_tcn.py). Falls back to the per-block kernel when
-    # the VMEM footprint (weights + slabs) doesn't fit.
-    if fused_whole and not train:
+    # Whole-TCN mega-kernels: all R*X blocks in ONE Pallas call with the
+    # residual stream resident in VMEM across blocks and block weights
+    # fetched once — ~64x less HBM traffic than per-block kernels.
+    # Inference: ops/pallas/whole_tcn.py. Training (use_pallas="hybrid"):
+    # the residual-saving forward + whole-chain backward mega-kernel pair
+    # (ops/pallas/whole_tcn_hybrid.py). Falls back to the per-block
+    # kernels when the VMEM footprint (weights + slabs) doesn't fit.
+    if fused_whole and (not train or cfg.use_pallas == "hybrid"):
         from ..ops.pallas.whole_tcn import tcn_vmem_need, whole_tcn_pallas
+        from ..ops.pallas.whole_tcn_hybrid import (tcn_bwd_vmem_need,
+                                                   whole_tcn_train)
 
         K_pad = x.shape[1]
-        if tcn_vmem_need(K_pad, cfg.B, cfg.H, cfg.R * cfg.X, cfg.P, cfg.X,
-                         cfg.dtype.itemsize) <= 100 * 1024 * 1024:
+        it = cfg.dtype.itemsize
+        NB = cfg.R * cfg.X
+        if train:
+            fits = (tcn_vmem_need(K_pad, cfg.B, cfg.H, NB, cfg.P, cfg.X,
+                                  it, save=True) <= 110 * 1024 * 1024
+                    and tcn_bwd_vmem_need(K_pad, cfg.B, cfg.H, NB, cfg.P,
+                                          cfg.X, it) <= 115 * 1024 * 1024)
+        else:
+            fits = tcn_vmem_need(K_pad, cfg.B, cfg.H, NB, cfg.P, cfg.X,
+                                 it) <= 100 * 1024 * 1024
+        if fits:
             bp = {k: v.reshape((-1,) + v.shape[2:])
                   for k, v in block_params.items()}
-            x = whole_tcn_pallas(
+            fn = whole_tcn_train if train else whole_tcn_pallas
+            x = fn(
                 x, bp["in_w"], bp["in_prelu"], bp["in_gamma"],
                 bp["in_beta"], bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"],
                 bp["dw_beta"], bp["out_w"], cfg.norm_type, cfg.causal,

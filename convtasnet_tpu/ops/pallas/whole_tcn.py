@@ -53,41 +53,73 @@ def _prelu(x, alpha):
 
 
 def _tcn_kernel(x_hbm, in_w_ref, a1_ref, g1_ref, b1_ref, w_ref, a2_ref,
-                g2_ref, b2_ref, out_w_ref, out_hbm,
-                slabs, bslab, in_sems, out_sems, *,
-                norm_type, causal, X, NB, P, K, K_pad, B, H, span_max):
-    m = pl.program_id(0)
-    M = pl.num_programs(0)
-    slot = m % 2
+                g2_ref, b2_ref, out_w_ref, *refs,
+                norm_type, causal, X, NB, P, K, K_pad, B, H, span_max, J,
+                save=False):
+    """One grid step processes J batch items (J=2 when the batch allows):
+    the J per-item chains are fully independent, and emitting their ops
+    phase-interleaved in one straight-line block lets Mosaic's scheduler
+    overlap item A's MXU dots with item B's VPU elementwise chains — the
+    single-item chain is ~40%% MXU / ~50%% VPU serial, so pairing hides
+    most of the smaller side.
+
+    With save=True (the mega-HYBRID training forward, J=1): every block's
+    INPUT slab x_nb (narrow [K_pad, B] — DMA'd out before the in-place
+    residual add overwrites it) and depthwise-conv output c_nb (pre-PReLU
+    [K_pad, H]) stream to HBM, overlapped with the block compute. The
+    backward mega-kernel (whole_tcn_bwd) consumes them: x gives din_w and
+    the y1 recompute (one cheap MXU dot), c gives the second chain —
+    nothing else is rematerialized."""
+    if save:
+        (out_hbm, xres_hbm, cres_hbm, slabs, bslab, cslabs,
+         in_sems, out_sems, x_sems, c_sems) = refs
+    else:
+        out_hbm, slabs, bslab, in_sems, out_sems = refs
+    g = pl.program_id(0)
+    G = pl.num_programs(0)
+    slot = g % 2
     n = K * H
     f32 = jnp.float32
     dt = slabs.dtype
     masked = K < K_pad
+    gln = norm_type == "gLN"
 
     def in_dma(i):
-        return pltpu.make_async_copy(x_hbm.at[i], slabs.at[i % 2],
-                                     in_sems.at[i % 2])
+        return pltpu.make_async_copy(x_hbm.at[pl.ds(i * J, J)],
+                                     slabs.at[i % 2], in_sems.at[i % 2])
 
     def out_dma(i):
-        return pltpu.make_async_copy(slabs.at[i % 2], out_hbm.at[i],
+        return pltpu.make_async_copy(slabs.at[i % 2],
+                                     out_hbm.at[pl.ds(i * J, J)],
                                      out_sems.at[i % 2])
 
-    @pl.when(m == 0)
+    if save:  # J == 1
+        def x_dma(nb):
+            return pltpu.make_async_copy(slabs.at[slot, 0],
+                                         xres_hbm.at[g, nb],
+                                         x_sems.at[nb % 2])
+
+        def c_dma(nb):
+            return pltpu.make_async_copy(cslabs.at[nb % 2],
+                                         cres_hbm.at[g, nb],
+                                         c_sems.at[nb % 2])
+
+    @pl.when(g == 0)
     def _():
         in_dma(0).start()
 
-    # Free the other slot (out DMA of m-1 reads it) BEFORE prefetching
-    # m+1 into it; the prefetch still overlaps this step's 32 blocks.
-    @pl.when(m >= 1)
+    # Free the other slot (out DMA of g-1 reads it) BEFORE prefetching
+    # g+1 into it; the prefetch still overlaps this step's NB blocks.
+    @pl.when(g >= 1)
     def _():
-        out_dma(m - 1).wait()
+        out_dma(g - 1).wait()
 
-    @pl.when(m + 1 < M)
+    @pl.when(g + 1 < G)
     def _():
-        in_dma(m + 1).start()
+        in_dma(g + 1).start()
 
-    in_dma(m).wait()
-    xslab = slabs.at[slot]
+    in_dma(g).wait()
+    xs = [slabs.at[slot, j] for j in range(J)]
 
     if masked:
         rowmask = jax.lax.broadcasted_iota(jnp.int32, (K_pad, 1), 0) < K
@@ -104,77 +136,109 @@ def _tcn_kernel(x_hbm, in_w_ref, a1_ref, g1_ref, b1_ref, w_ref, a2_ref,
         b2 = b2_ref[nb].astype(f32)[None, :]
         w = w_ref[nb].astype(f32)  # [P, H]
 
-        # ---- in_w -> PReLU -> norm1 -> bordered conv slab (full-slab) ----
-        y1 = jax.lax.dot_general(
-            xslab[...], in_w_ref[nb], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(dt)  # rounded like pointwise().astype(dt) in the XLA path
-        a = _prelu(y1.astype(f32), a1)
-        # y1 pad rows are exact zeros (x pad rows zero), so a contributes
-        # nothing to the gLN sums there — no mask needed in pass 1.
-        if norm_type == "gLN":
-            mean1 = jnp.sum(a) / n
-            inv1 = jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(a * a) / n - mean1 * mean1, 0.0) + EPS)
-            b = g1 * ((a - mean1) * inv1) + b1
-        else:  # cLN: per-row stats
-            mean = jnp.mean(a, axis=-1, keepdims=True)
-            dev = a - mean
-            var = jnp.mean(dev * dev, axis=-1, keepdims=True)
-            b = g1 * (dev * jax.lax.rsqrt(var + EPS)) + b1
-        bslab[span_max: span_max + K_pad, :] = b.astype(dt)
-        # Zero the halo borders and the written pad rows beyond K
-        # (static slices; the border is span_max rows for every block).
-        bslab[0:span_max, :] = jnp.zeros((span_max, H), dt)
-        bslab[span_max + K:, :] = jnp.zeros(
-            (bslab.shape[0] - span_max - K, H), dt)
+        # ---- in_w -> PReLU -> norm1 -> bordered conv slabs (full-slab,
+        # phase-interleaved over the J items) ----
+        if save:
+            # Stream this block's INPUT out now; waited before the
+            # in-place residual add at the end of the block overwrites it.
+            x_dma(nb).start()
+        a = []
+        for j in range(J):
+            y1 = jax.lax.dot_general(
+                xs[j][...], in_w_ref[nb], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(dt)  # rounded like pointwise().astype(dt) in XLA
+            a.append(_prelu(y1.astype(f32), a1))
+        for j in range(J):
+            aj = a[j]
+            # y1 pad rows are exact zeros (x pad rows zero), so aj
+            # contributes nothing to the gLN sums there — no mask needed.
+            if gln:
+                mean1 = jnp.sum(aj) / n
+                inv1 = jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(aj * aj) / n - mean1 * mean1, 0.0)
+                    + EPS)
+                b = g1 * ((aj - mean1) * inv1) + b1
+            else:  # cLN: per-row stats
+                mean = jnp.mean(aj, axis=-1, keepdims=True)
+                dev = aj - mean
+                var = jnp.mean(dev * dev, axis=-1, keepdims=True)
+                b = g1 * (dev * jax.lax.rsqrt(var + EPS)) + b1
+            bslab[j, span_max: span_max + K_pad, :] = b.astype(dt)
+            # Zero the halo borders and the written pad rows beyond K
+            # (static slices; the border is span_max rows for all blocks).
+            bslab[j, 0:span_max, :] = jnp.zeros((span_max, H), dt)
+            bslab[j, span_max + K:, :] = jnp.zeros(
+                (bslab.shape[1] - span_max - K, H), dt)
 
         # ---- dwconv (static tap slices) -> PReLU -> norm2 -> out_w ----
         base = span_max - left
-        c = None
-        for p in range(P):
-            tap = bslab[base + p * d: base + p * d + K_pad,
-                        :].astype(f32) * w[p]
-            c = tap if c is None else c + tap
-        e = _prelu(c, a2)
-        if norm_type == "gLN":
-            em = jnp.where(rowmask, e, 0.0) if masked else e
-            mean2 = jnp.sum(em) / n
-            inv2 = jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(em * em) / n - mean2 * mean2, 0.0) + EPS)
-            z = (g2 * ((e - mean2) * inv2) + b2).astype(dt)
-        else:
-            mean = jnp.mean(e, axis=-1, keepdims=True)
-            dev = e - mean
-            var = jnp.mean(dev * dev, axis=-1, keepdims=True)
-            z = (g2 * (dev * jax.lax.rsqrt(var + EPS)) + b2).astype(dt)
-        o = jax.lax.dot_general(
-            z, out_w_ref[nb], (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        ).astype(dt)
-        # Residual add in place; pad rows leave every block as exact
-        # zeros (norm/bias makes o nonzero there and the next block's
-        # stats rely on zero pad rows).
-        if masked:
-            xslab[...] = jnp.where(rowmask, xslab[...] + o,
-                                   jnp.zeros((), dt))
-        else:
-            xslab[...] = xslab[...] + o
+        es = []
+        for j in range(J):
+            c = None
+            for p in range(P):
+                tap = bslab[j, base + p * d: base + p * d + K_pad,
+                            :].astype(f32) * w[p]
+                c = tap if c is None else c + tap
+            if save:
+                if nb >= 2:  # free the revolving c slab slot
+                    c_dma(nb - 2).wait()
+                cslabs[nb % 2, :, :] = c.astype(dt)
+                c_dma(nb).start()
+            es.append(_prelu(c, a2))
+        for j in range(J):
+            e = es[j]
+            if gln:
+                em = jnp.where(rowmask, e, 0.0) if masked else e
+                mean2 = jnp.sum(em) / n
+                inv2 = jax.lax.rsqrt(
+                    jnp.maximum(jnp.sum(em * em) / n - mean2 * mean2, 0.0)
+                    + EPS)
+                z = (g2 * ((e - mean2) * inv2) + b2).astype(dt)
+            else:
+                mean = jnp.mean(e, axis=-1, keepdims=True)
+                dev = e - mean
+                var = jnp.mean(dev * dev, axis=-1, keepdims=True)
+                z = (g2 * (dev * jax.lax.rsqrt(var + EPS)) + b2).astype(dt)
+            o = jax.lax.dot_general(
+                z, out_w_ref[nb], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            ).astype(dt)
+            # Residual add in place; pad rows leave every block as exact
+            # zeros (norm/bias makes o nonzero there and the next block's
+            # stats rely on zero pad rows).
+            if save:
+                x_dma(nb).wait()  # the input snapshot must be out first
+            if masked:
+                xs[j][...] = jnp.where(rowmask, xs[j][...] + o,
+                                       jnp.zeros((), dt))
+            else:
+                xs[j][...] = xs[j][...] + o
 
-    out_dma(m).start()
+    if save:
+        c_dma(NB - 2).wait()
+        c_dma(NB - 1).wait()
 
-    @pl.when(m == M - 1)
+    out_dma(g).start()
+
+    @pl.when(g == G - 1)
     def _():
-        out_dma(m).wait()
+        out_dma(g).wait()
 
 
 def whole_tcn_pallas(x, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
-                     norm_type, causal, X, interpret=False, valid_k=None):
+                     norm_type, causal, X, interpret=False, valid_k=None,
+                     save_residuals=False):
     """All NB = R*X temporal blocks fused: [M, K(,pad), B] -> same shape.
 
     Weights come stacked over blocks in scan order: leaf shape
     [NB, ...] where block i uses dilation 2**(i % X). With valid_k set,
     x is already 128-padded with exact-zero pad rows.
+
+    With save_residuals=True returns (out, x_res, c_res) where
+    x_res [M, NB, K_pad, B] is every block's input slab and
+    c_res [M, NB, K_pad, H] every block's (dtype-rounded, pad rows NOT
+    masked) depthwise-conv output — the mega-hybrid training residuals.
     """
     M, K_in, B = x.shape
     NB, P, H = w.shape
@@ -186,33 +250,65 @@ def whole_tcn_pallas(x, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
         if K_pad != K:
             x = jnp.pad(x, ((0, 0), (0, K_pad - K), (0, 0)))
     span_max = (P - 1) * 2 ** (X - 1)
+    it = x.dtype.itemsize
+
+    # Pair batch items per grid step when the batch and VMEM allow it
+    # (the MXU/VPU-overlap win in _tcn_kernel's docstring). Odd batches
+    # pad one zero item (sliced off below) — the pairing win dwarfs the
+    # <= 1-item overhead. Residual saving pins J=1 (the x DMA snapshots
+    # the single resident slab).
+    J = 2 if (not save_residuals and M > 1 and tcn_vmem_need(
+        K_pad, B, H, NB, P, X, it, J=2) <= 110 * 1024 * 1024) else 1
+    M_pad = -(-M // J) * J
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0), (0, 0)))
 
     kernel = partial(_tcn_kernel, norm_type=norm_type, causal=causal, X=X,
                      NB=NB, P=P, K=K, K_pad=K_pad, B=B, H=H,
-                     span_max=span_max)
+                     span_max=span_max, J=J, save=save_residuals)
     vec = pl.BlockSpec(memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
-    it = x.dtype.itemsize
     vmem_limit = min(
         128 * 1024 * 1024,
-        tcn_vmem_need(K_pad, B, H, NB, P, X, it) + 8 * 1024 * 1024)
+        tcn_vmem_need(K_pad, B, H, NB, P, X, it, J=J,
+                      save=save_residuals) + 8 * 1024 * 1024)
+    if save_residuals:
+        out_shape = [
+            jax.ShapeDtypeStruct((M_pad, K_pad, B), x.dtype),
+            jax.ShapeDtypeStruct((M_pad, NB, K_pad, B), x.dtype),  # x_res
+            jax.ShapeDtypeStruct((M_pad, NB, K_pad, H), x.dtype),  # c_res
+        ]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        scratch = [
+            pltpu.VMEM((2, J, K_pad, B), x.dtype),  # resident residuals
+            pltpu.VMEM((J, K_pad + 2 * span_max, H), x.dtype),  # conv slabs
+            pltpu.VMEM((2, K_pad, H), x.dtype),     # revolving c-out slabs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),          # x_res out
+            pltpu.SemaphoreType.DMA((2,)),          # c_res out
+        ]
+    else:
+        out_shape = jax.ShapeDtypeStruct((M_pad, K_pad, B), x.dtype)
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        scratch = [
+            pltpu.VMEM((2, J, K_pad, B), x.dtype),  # resident residuals
+            pltpu.VMEM((J, K_pad + 2 * span_max, H), x.dtype),  # conv slabs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     out = pl.pallas_call(
         kernel,
-        grid=(M,),
+        grid=(M_pad // J,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             vec,                                 # in_w  [NB, B, H]
             scal, vec, vec, vec, scal, vec, vec,
             vec,                                 # out_w [NB, H, B]
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((M, K_pad, B), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, K_pad, B), x.dtype),  # resident residual stream
-            pltpu.VMEM((K_pad + 2 * span_max, H), x.dtype),  # conv slab
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit,
         ),
@@ -226,18 +322,28 @@ def whole_tcn_pallas(x, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
         g2, b2,
         out_w.astype(x.dtype),
     )
+    if save_residuals:
+        out, x_res, c_res = out
+        if M_pad != M:
+            out, x_res, c_res = out[:M], x_res[:M], c_res[:M]
+        if valid_k is None and K_pad != K:
+            out = out[:, :K, :]
+        return out, x_res, c_res
+    if M_pad != M:
+        out = out[:M]
     if valid_k is not None:
         return out
     return out[:, :K, :] if K_pad != K else out
 
 
 def tcn_vmem_need(K_pad: int, B: int, H: int, NB: int, P: int, X: int,
-                  itemsize: int) -> int:
+                  itemsize: int, J: int = 1, save: bool = False) -> int:
     """VMEM bytes the mega-kernel needs (for the dispatch check): the
-    persistent buffers plus ~4 [K_pad, H] f32 intermediates the full-slab
-    block body keeps live (a/b/c-e chains before each store)."""
+    persistent buffers plus ~4 [K_pad, H] f32 intermediates per paired
+    item the full-slab block body keeps live (a/b/c-e chains)."""
     span_max = (P - 1) * 2 ** (X - 1)
-    return (2 * K_pad * B                        # residual double buffer
-            + (K_pad + 2 * span_max) * H         # bordered conv slab
+    return (J * 2 * K_pad * B                    # residual double buffers
+            + J * (K_pad + 2 * span_max) * H     # bordered conv slabs
+            + (2 * K_pad * H if save else 0)     # revolving c-out slabs
             + 2 * NB * B * H + NB * P * H        # all block weights
-            ) * itemsize + 4 * K_pad * H * 4     # f32 full-slab temps
+            ) * itemsize + J * 4 * K_pad * H * 4  # f32 full-slab temps

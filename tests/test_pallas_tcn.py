@@ -125,3 +125,135 @@ def test_model_falls_back_when_vmem_exceeded(monkeypatch):
     got, _ = forward(params, state, cfg_whole, mix, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# Mega-hybrid training path (ops/pallas/whole_tcn_hybrid.py): the
+# residual-saving forward + whole-chain backward mega-kernel pair.
+# ---------------------------------------------------------------------------
+
+def test_whole_tcn_save_residuals_match_forward():
+    """save_residuals=True returns the same output plus per-block input /
+    conv-output slabs that match an XLA replay."""
+    import jax
+
+    from convtasnet_tpu.ops.conv import depthwise_dilated
+    from convtasnet_tpu.ops.norms import apply_norm
+    from convtasnet_tpu.models.conv_tasnet import prelu, pointwise
+
+    rng = np.random.default_rng(2)
+    B, H, P, X, R = 128, 256, 3, 2, 2
+    NB = R * X
+    bp = _stacked_blocks(rng, NB, B, H, P)
+    x = jnp.asarray(rng.normal(size=(2, 128, B)).astype(np.float32) * 0.3)
+
+    from convtasnet_tpu.ops.pallas.whole_tcn import whole_tcn_pallas
+
+    want = whole_tcn_pallas(
+        x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
+        bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
+        bp["out_w"], "gLN", False, X, interpret=True)
+    got, x_res, c_res = whole_tcn_pallas(
+        x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
+        bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
+        bp["out_w"], "gLN", False, X, interpret=True, save_residuals=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+    assert x_res.shape == (2, NB, 128, B)
+    assert c_res.shape == (2, NB, 128, H)
+    # Block 0's saved input is the TCN input itself.
+    np.testing.assert_allclose(np.asarray(x_res[:, 0]), np.asarray(x),
+                               rtol=1e-6, atol=1e-7)
+    # Replay chain 1 of block 0 in XLA and check the saved conv output.
+    dt = x.dtype
+    y = pointwise(x, bp["in_w"][0], dt).astype(dt)
+    y = prelu(y, bp["in_prelu"][0])
+    y, _ = apply_norm("gLN", y, {"gamma": bp["in_gamma"][0],
+                                 "beta": bp["in_beta"][0]}, None, False)
+    c_want = depthwise_dilated(y.astype(dt), bp["dw_w"][0], 1, False, None)
+    np.testing.assert_allclose(np.asarray(c_res[:, 0]), np.asarray(c_want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("norm_type,causal,K", [
+    ("gLN", False, 128),
+    ("gLN", True, 200),     # unaligned K exercises pad-row masking
+    ("cLN", False, 300),
+])
+def test_whole_tcn_train_grads_match_xla(norm_type, causal, K):
+    """Whole-chain gradient parity: loss + every weight/input grad of the
+    mega-hybrid custom VJP vs jax.grad of the XLA block chain."""
+    from convtasnet_tpu.ops.pallas.whole_tcn_hybrid import whole_tcn_train
+
+    rng = np.random.default_rng(7)
+    B, H, P, X, R = 128, 256, 3, 2, 2
+    NB = R * X
+    bp = _stacked_blocks(rng, NB, B, H, P)
+    x = jnp.asarray(rng.normal(size=(2, K, B)).astype(np.float32) * 0.3)
+    K_pad = -(-K // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, K_pad - K), (0, 0)))
+    cfg = ConvTasNetConfig(N=16, L=8, B=B, H=H, P=P, X=X, R=R, C=2,
+                           norm_type=norm_type, causal=causal,
+                           compute_dtype="float32", use_pallas=False)
+    tgt = jnp.asarray(rng.normal(size=(2, K_pad, B)).astype(np.float32))
+
+    order = ["in_w", "in_prelu", "in_gamma", "in_beta", "dw_w",
+             "dw_prelu", "dw_gamma", "dw_beta", "out_w"]
+
+    def loss_kernel(xp, bp):
+        out = whole_tcn_train(
+            xp, *[bp[k] for k in order], norm_type, causal, X, True,
+            K if K != K_pad else None)
+        # Kernel output pad rows are exact zeros -> sin(0)*tgt = 0, so
+        # the loss equals the unpadded XLA chain's.
+        return jnp.sum(jnp.sin(out) * tgt)
+
+    def loss_xla(x, bp):
+        # The oracle runs on the UNPADDED input: no pad rows exist, so
+        # its gLN statistics match the kernel's masked statistics.
+        out = _xla_blocks(x, bp, norm_type, causal, X, cfg)
+        return jnp.sum(jnp.sin(out) * tgt[:, :K])
+
+    lk, gk = jax.value_and_grad(loss_kernel, argnums=(0, 1))(xp, bp)
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1))(x, bp)
+    np.testing.assert_allclose(float(lk), float(lx), rtol=1e-5)
+    # Input gradient (valid rows; the kernel masks pad rows to zero).
+    np.testing.assert_allclose(np.asarray(gk[0][:, :K]),
+                               np.asarray(gx[0]),
+                               rtol=2e-3, atol=2e-5)
+    assert np.all(np.asarray(gk[0][:, K:]) == 0.0)
+    for k in order:
+        # atol 5e-4 (grads are O(10-60)): the kernel accumulates weight
+        # grads in a different (per-block, per-item) f32 order than
+        # XLA's fused reductions.
+        np.testing.assert_allclose(
+            np.asarray(gk[1][k]), np.asarray(gx[1][k]),
+            rtol=2e-3, atol=5e-4, err_msg=f"grad mismatch at {k}")
+
+
+def test_model_hybrid_training_uses_mega_and_matches_xla():
+    """use_pallas='hybrid' training at a config where the mega pair fits:
+    whole-model loss and every parameter gradient match the XLA path."""
+    from convtasnet_tpu.ops.loss import cal_loss
+
+    cfg_ref = ConvTasNetConfig(use_pallas=False, **TINY)
+    cfg_h = ConvTasNetConfig(use_pallas="hybrid", **TINY)
+    params, state = init_params(jax.random.key(4), cfg_ref)
+    rng = np.random.default_rng(4)
+    mix = jnp.asarray(rng.normal(size=(2, 1600)).astype(np.float32))
+    src = jnp.stack([mix * 0.6, mix * 0.4], axis=1)
+    lens = jnp.full(2, 1600, jnp.int32)
+
+    def loss_fn(p, cfg):
+        est, _ = forward(p, state, cfg, mix, train=True)
+        return cal_loss(src, est, lens)[0]
+
+    want_l, want_g = jax.value_and_grad(loss_fn)(params, cfg_ref)
+    got_l, got_g = jax.value_and_grad(loss_fn)(params, cfg_h)
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-4)
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(want_g)
+    flat_g = jax.tree_util.tree_leaves(got_g)
+    for (path, a), b in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
