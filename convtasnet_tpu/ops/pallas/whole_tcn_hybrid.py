@@ -58,12 +58,12 @@ def _dprelu(v, alpha):
                      jnp.asarray(alpha, v.dtype))
 
 
-def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_ref,
+def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_hbm,
                     in_w_ref, a1_ref, g1_ref, b1_ref, w_ref, a2_ref,
                     g2_ref, b2_ref, out_w_ref,
                     dx_ref, din_w_ref, da1_ref, dg1_ref, db1_ref, dw_ref,
                     da2_ref, dg2_ref, db2_ref, dout_w_ref,
-                    xslabs, cslabs, hslab, x_sems, c_sems, *,
+                    xslabs, cslabs, hslab, x_sems, c_sems, g_sem, *,
                     norm_type, causal, X, NB, P, K, K_pad, B, H, span_max):
     m = pl.program_id(0)
     M = pl.num_programs(0)
@@ -86,9 +86,18 @@ def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_ref,
     @pl.when(m == 0)
     def _():
         for ref in (din_w_ref, dout_w_ref, dw_ref, dg1_ref, db1_ref,
-                    dg2_ref, db2_ref, da1_ref, da2_ref):
+                    dg2_ref, db2_ref):
             ref[...] = jnp.zeros(ref.shape, ref.dtype)
+        for i in range(NB):  # SMEM takes scalar stores only
+            da1_ref[i] = f32(0)
+            da2_ref[i] = f32(0)
 
+    # Upstream g is DMA'd straight into the dx output block (the resident
+    # gradient stream) instead of a pipelined input window — saves two
+    # [K_pad, B] VMEM buffers; the backward kernel sits within ~1 MB of
+    # the 128 MB VMEM ceiling at the paper config.
+    g_in = pltpu.make_async_copy(g_hbm.at[m], dx_ref.at[0], g_sem)
+    g_in.start()
     x_dma(NB - 1).start()
     c_dma(NB - 1).start()
 
@@ -104,7 +113,8 @@ def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_ref,
     # The gradient stream lives in the dx output block (flushed to HBM
     # once per item). Upstream cotangent rows beyond K are meaningless
     # (the forward zeroed those outputs) — mask once.
-    dx_ref[0] = rmask(g_ref[0])
+    g_in.wait()
+    dx_ref[0] = rmask(dx_ref[0])
 
     for nb in range(NB - 1, -1, -1):
         d = 2 ** (nb % X)
@@ -267,8 +277,7 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x_res stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),  # c_res stays in HBM
-            pl.BlockSpec((1, K_pad, B), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),  # upstream g, per item
+            pl.BlockSpec(memory_space=pl.ANY),  # upstream g (manual DMA)
             vec,                                 # in_w  [NB, B, H]
             scal, vec, vec, vec, scal, vec, vec,
             vec,                                 # out_w [NB, H, B]
@@ -296,6 +305,7 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
             pltpu.VMEM((K_pad + 2 * span_max, H), g.dtype),  # b/dc slab
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),         # upstream g in
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit,
@@ -320,7 +330,7 @@ def tcn_bwd_vmem_need(K_pad: int, B: int, H: int, NB: int, P: int, X: int,
     return ((2 * K_pad * B + 2 * K_pad * H       # residual double buffers
              + (K_pad + 2 * span_max) * H        # bordered b/dc slab
              + 2 * NB * B * H + NB * P * H       # weights
-             + 2 * 2 * K_pad * B                 # g in + dx out blocks (x2)
+             + 2 * K_pad * B                     # dx out block (x2 buffers)
              ) * itemsize
             + (2 * NB * B * H + NB * P * H + 4 * NB * H) * 4  # f32 accums
             + 5 * K_pad * H * 4)                 # f32 full-slab temps
