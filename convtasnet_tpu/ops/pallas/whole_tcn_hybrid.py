@@ -50,11 +50,13 @@ from .whole_tcn import tcn_vmem_need, whole_tcn_pallas
 
 
 def _prelu(v, alpha):
-    return jnp.where(v >= 0, v, alpha * v)
+    # Compare in f32: the v5e VPU has no bf16 >= (Mosaic: "Target does
+    # not support this comparison"); the cast fuses into the select.
+    return jnp.where(v.astype(jnp.float32) >= 0, v, alpha * v)
 
 
 def _dprelu(v, alpha):
-    return jnp.where(v >= 0, jnp.ones((), v.dtype),
+    return jnp.where(v.astype(jnp.float32) >= 0, jnp.ones((), v.dtype),
                      jnp.asarray(alpha, v.dtype))
 
 
@@ -132,104 +134,130 @@ def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_hbm,
         x_dma(nb).wait()
         c_dma(nb).wait()
         x = xslabs[nb % 2]          # [K_pad, B] dt, pad rows exact zeros
-        cf = rmask(cslabs[nb % 2].astype(f32))  # stored c pad rows unmasked
+        cf = rmask(cslabs[nb % 2])  # dt; stored c pad rows are unmasked
 
         g_dt = dx_ref[0]            # masked running gradient, dt
+
+        # PRECISION POLICY (whole_block_hybrid._hybrid_bwd_math): every
+        # wide [K_pad, H] tensor stays in the ACTIVATION dtype — halving
+        # the VMEM temp footprint Mosaic must schedule (an all-f32
+        # version exceeded the 128 MB ceiling by 18 MB) — while norm
+        # statistics, reductions, and matmul/weight-grad accumulators
+        # are exact f32.
+        a1d = a1.astype(dt)
+        a2d = a2.astype(dt)
+        g1d = g1.astype(dt)
+        g2d = g2.astype(dt)
 
         # ---- recompute chain 1 from x (bit-identical dot to forward) ----
         y1 = jax.lax.dot_general(
             x, in_w_ref[nb], (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         ).astype(dt)
-        y1f = y1.astype(f32)
-        a = _prelu(y1f, a1)
+        a = _prelu(y1, a1d)
         if gln:
-            mean1 = jnp.sum(a) / n
+            mean1 = jnp.sum(a, dtype=f32) / n
             inv1 = jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(a * a) / n - mean1 * mean1, 0.0) + EPS)
+                jnp.maximum(jnp.sum(a.astype(f32) * a.astype(f32)) / n
+                            - mean1 * mean1, 0.0) + EPS)
         else:
-            mean1 = jnp.mean(a, axis=-1, keepdims=True)
-            dv = a - mean1
+            af = a.astype(f32)
+            mean1 = jnp.mean(af, axis=-1, keepdims=True)
+            dv = af - mean1
             inv1 = jax.lax.rsqrt(
                 jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
-        ahat = (a - mean1) * inv1
-        b = rmask(g1 * ahat + b1_ref[nb].astype(f32)[None, :])
+        ahat = ((a - mean1.astype(dt)) * inv1.astype(dt))
+        b = rmask(g1d * ahat + b1_ref[nb].astype(dt)[None, :])
 
         # ---- recompute chain 2 from c ----
-        e = _prelu(cf, a2)
+        e = _prelu(cf, a2d)
         if gln:
-            mean2 = jnp.sum(e) / n
+            mean2 = jnp.sum(e, dtype=f32) / n
             inv2 = jax.lax.rsqrt(
-                jnp.maximum(jnp.sum(e * e) / n - mean2 * mean2, 0.0) + EPS)
+                jnp.maximum(jnp.sum(e.astype(f32) * e.astype(f32)) / n
+                            - mean2 * mean2, 0.0) + EPS)
         else:
-            mean2 = jnp.mean(e, axis=-1, keepdims=True)
-            dv = e - mean2
+            ef = e.astype(f32)
+            mean2 = jnp.mean(ef, axis=-1, keepdims=True)
+            dv = ef - mean2
             inv2 = jax.lax.rsqrt(
                 jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
-        ehat = (e - mean2) * inv2
-        z_dt = (g2 * ehat + b2_ref[nb].astype(f32)[None, :]).astype(dt)
+        ehat = ((e - mean2.astype(dt)) * inv2.astype(dt))
+        z_dt = g2d * ehat + b2_ref[nb].astype(dt)[None, :]
 
         # ---- out_w backward ----
         dz = jax.lax.dot_general(   # [K, H] = g [K, B] x out_w [H, B]^T
             g_dt, out_w_ref[nb], (((1,), (1,)), ((), ())),
             preferred_element_type=f32,
-        )
+        ).astype(dt)
         dout_w_ref[nb] += jax.lax.dot_general(  # [H, B] = z^T g
             z_dt, g_dt, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
 
         # ---- norm2 / prelu2 backward ----
-        dg2_ref[nb] += jnp.sum(dz * ehat, axis=0)
-        db2_ref[nb] += jnp.sum(dz, axis=0)
-        dzg = dz * g2
+        dg2_ref[nb] += jnp.sum(dz.astype(f32) * ehat.astype(f32), axis=0)
+        db2_ref[nb] += jnp.sum(dz, axis=0, dtype=f32)
+        dzg = dz * g2d
         if gln:
-            de = inv2 * (dzg - jnp.sum(dzg) / n
-                         - ehat * (jnp.sum(dzg * ehat) / n))
+            de = inv2.astype(dt) * (
+                dzg - (jnp.sum(dzg, dtype=f32) / n).astype(dt)
+                - ehat * (jnp.sum(dzg.astype(f32)
+                                  * ehat.astype(f32)) / n).astype(dt))
         else:
-            de = inv2 * (dzg - jnp.mean(dzg, -1, keepdims=True)
-                         - ehat * jnp.mean(dzg * ehat, -1, keepdims=True))
+            de = inv2.astype(dt) * (
+                dzg - jnp.mean(dzg.astype(f32), -1,
+                               keepdims=True).astype(dt)
+                - ehat * jnp.mean((dzg * ehat).astype(f32), -1,
+                                  keepdims=True).astype(dt))
         de = rmask(de)
-        da2_ref[nb] += jnp.sum(de * jnp.minimum(cf, 0.0))
-        dc = de * _dprelu(cf, a2)
+        da2_ref[nb] += jnp.sum(de.astype(f32)
+                               * jnp.minimum(cf, 0).astype(f32))
+        dc = de * _dprelu(cf, a2d)
 
         # ---- depthwise conv backward ----
         # dw[p] = sum_k dc[k] * b[k - left + p*d]: b in the bordered slab.
-        hslab[span_max: span_max + K_pad, :] = b.astype(dt)
+        hslab[span_max: span_max + K_pad, :] = b
         hslab[0:span_max, :] = jnp.zeros((span_max, H), dt)
         hslab[span_max + K:, :] = jnp.zeros(
             (hslab.shape[0] - span_max - K, H), dt)
         base = span_max - left
         dwacc = []
         for p in range(P):
-            tap = hslab[base + p * d: base + p * d + K_pad, :].astype(f32)
-            dwacc.append(jnp.sum(dc * tap, axis=0))
+            tap = hslab[base + p * d: base + p * d + K_pad, :]
+            dwacc.append(jnp.sum(dc.astype(f32) * tap.astype(f32), axis=0))
         dw_ref[nb] += jnp.stack(dwacc)
         # db[j] = sum_p w[p] * dc[j + left - p*d]: dc reuses the slab.
-        hslab[span_max: span_max + K_pad, :] = dc.astype(dt)
+        hslab[span_max: span_max + K_pad, :] = dc
         hslab[0:span_max, :] = jnp.zeros((span_max, H), dt)
         hslab[span_max + K:, :] = jnp.zeros(
             (hslab.shape[0] - span_max - K, H), dt)
         db = None
         for p in range(P):
             off = span_max + left - p * d
-            tap = w[p] * hslab[off: off + K_pad, :].astype(f32)
+            tap = w[p].astype(dt) * hslab[off: off + K_pad, :]
             db = tap if db is None else db + tap
         db = rmask(db)
 
         # ---- norm1 / prelu1 backward ----
-        dg1_ref[nb] += jnp.sum(db * ahat, axis=0)
-        db1_ref[nb] += jnp.sum(db, axis=0)
-        dbg = db * g1
+        dg1_ref[nb] += jnp.sum(db.astype(f32) * ahat.astype(f32), axis=0)
+        db1_ref[nb] += jnp.sum(db, axis=0, dtype=f32)
+        dbg = db * g1d
         if gln:
-            da = inv1 * (dbg - jnp.sum(dbg) / n
-                         - ahat * (jnp.sum(dbg * ahat) / n))
+            da = inv1.astype(dt) * (
+                dbg - (jnp.sum(dbg, dtype=f32) / n).astype(dt)
+                - ahat * (jnp.sum(dbg.astype(f32)
+                                  * ahat.astype(f32)) / n).astype(dt))
         else:
-            da = inv1 * (dbg - jnp.mean(dbg, -1, keepdims=True)
-                         - ahat * jnp.mean(dbg * ahat, -1, keepdims=True))
+            da = inv1.astype(dt) * (
+                dbg - jnp.mean(dbg.astype(f32), -1,
+                               keepdims=True).astype(dt)
+                - ahat * jnp.mean((dbg * ahat).astype(f32), -1,
+                                  keepdims=True).astype(dt))
         da = rmask(da)
-        da1_ref[nb] += jnp.sum(da * jnp.minimum(y1f, 0.0))
-        dy1_dt = (da * _dprelu(y1f, a1)).astype(dt)
+        da1_ref[nb] += jnp.sum(da.astype(f32)
+                               * jnp.minimum(y1, 0).astype(f32))
+        dy1_dt = da * _dprelu(y1, a1d)
 
         # ---- in_w backward + residual path ----
         din_w_ref[nb] += jax.lax.dot_general(  # [B, H] = x^T dy1
