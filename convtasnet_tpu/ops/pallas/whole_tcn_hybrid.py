@@ -50,14 +50,19 @@ from .whole_tcn import tcn_vmem_need, whole_tcn_pallas
 
 
 def _prelu(v, alpha):
-    # Compare in f32: the v5e VPU has no bf16 >= (Mosaic: "Target does
-    # not support this comparison"); the cast fuses into the select.
-    return jnp.where(v.astype(jnp.float32) >= 0, v, alpha * v)
+    # Compare AND select in f32, downcast after: the v5e VPU has no bf16
+    # >= (Mosaic: "Target does not support this comparison") and an
+    # f32-layout i1 mask cannot relayout into a bf16 select ("Invalid
+    # relayout ... vector<...xi1>").
+    vf = v.astype(jnp.float32)
+    af = jnp.asarray(alpha, jnp.float32)
+    return jnp.where(vf >= 0, vf, af * vf).astype(v.dtype)
 
 
 def _dprelu(v, alpha):
-    return jnp.where(v.astype(jnp.float32) >= 0, jnp.ones((), v.dtype),
-                     jnp.asarray(alpha, v.dtype))
+    vf = v.astype(jnp.float32)
+    return jnp.where(vf >= 0, jnp.float32(1),
+                     jnp.asarray(alpha, jnp.float32)).astype(v.dtype)
 
 
 def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_hbm,
@@ -212,7 +217,7 @@ def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_hbm,
                                   keepdims=True).astype(dt))
         de = rmask(de)
         da2_ref[nb] += jnp.sum(de.astype(f32)
-                               * jnp.minimum(cf, 0).astype(f32))
+                               * jnp.minimum(cf.astype(f32), 0.0))
         dc = de * _dprelu(cf, a2d)
 
         # ---- depthwise conv backward ----
@@ -256,7 +261,7 @@ def _tcn_bwd_kernel(xres_hbm, cres_hbm, g_hbm,
                                   keepdims=True).astype(dt))
         da = rmask(da)
         da1_ref[nb] += jnp.sum(da.astype(f32)
-                               * jnp.minimum(y1, 0).astype(f32))
+                               * jnp.minimum(y1.astype(f32), 0.0))
         dy1_dt = da * _dprelu(y1, a1d)
 
         # ---- in_w backward + residual path ----
