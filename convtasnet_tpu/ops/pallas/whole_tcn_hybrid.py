@@ -104,8 +104,8 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
     g_dt = rmask(g_ref[0])
     in_w = in_w_ref[0]          # [B, H] dt
     out_w = out_w_ref[0]        # [H, B] dt
-    a1 = a1_ref[0]
-    a2 = a2_ref[0]
+    a1 = a1_ref[0, 0]
+    a2 = a2_ref[0, 0]
     g1d = g1_ref[0].astype(dt)[None, :]
     g2d = g2_ref[0].astype(dt)[None, :]
 
@@ -244,12 +244,14 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
                          memory_space=win),          # upstream g
             pl.BlockSpec((1, B, H), lambda m: (nb, 0, 0),
                          memory_space=win),          # in_w
-            pl.BlockSpec((1,), lambda m: (nb,), memory_space=pltpu.SMEM),
+            # Per-block scalars ride as [NB, 1] with a (1, 1) SMEM window:
+            # Mosaic rejects rank-1 blocked specs narrower than the array.
+            pl.BlockSpec((1, 1), lambda m: (nb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
             pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
             pl.BlockSpec((1, P, H), lambda m: (nb, 0, 0),
                          memory_space=win),          # dw_w
-            pl.BlockSpec((1,), lambda m: (nb,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda m: (nb, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
             pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
             pl.BlockSpec((1, H, B), lambda m: (nb, 0, 0),
@@ -287,9 +289,9 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
     )(
         x_res, c_res, g,
         in_w.astype(g.dtype),
-        jnp.asarray(a1, f32).reshape(NB),
+        jnp.asarray(a1, f32).reshape(NB, 1),
         g1.astype(f32), b1.astype(f32), w,
-        jnp.asarray(a2, f32).reshape(NB),
+        jnp.asarray(a2, f32).reshape(NB, 1),
         g2.astype(f32), b2.astype(f32),
         out_w.astype(g.dtype),
     )
