@@ -104,10 +104,10 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
     g_dt = rmask(g_ref[0])
     in_w = in_w_ref[0]          # [B, H] dt
     out_w = out_w_ref[0]        # [H, B] dt
-    a1 = a1_ref[0, 0]
-    a2 = a2_ref[0, 0]
-    g1d = g1_ref[0].astype(dt)[None, :]
-    g2d = g2_ref[0].astype(dt)[None, :]
+    a1 = a1_ref[0]
+    a2 = a2_ref[0]
+    g1d = g1_ref[0].astype(dt)        # [1, H]
+    g2d = g2_ref[0].astype(dt)
 
     # ---- recompute chain 1 from x (bit-identical dot to forward) ----
     y1 = jax.lax.dot_general(
@@ -125,7 +125,7 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
         dv = af - mean1
         inv1 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
     ahat = (a - mean1.astype(dt)) * inv1.astype(dt)
-    b = rmask(g1d * ahat + b1_ref[0].astype(dt)[None, :])
+    b = rmask(g1d * ahat + b1_ref[0].astype(dt))
 
     # ---- recompute chain 2 from c ----
     e = _prelu(cf, a2)
@@ -140,7 +140,7 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
         dv = ef - mean2
         inv2 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
     ehat = (e - mean2.astype(dt)) * inv2.astype(dt)
-    z_dt = g2d * ehat + b2_ref[0].astype(dt)[None, :]
+    z_dt = g2d * ehat + b2_ref[0].astype(dt)
 
     # ---- out_w backward ----
     dz = jax.lax.dot_general(       # [K, H] = g [K, B] x out_w [H, B]^T
@@ -244,16 +244,23 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
                          memory_space=win),          # upstream g
             pl.BlockSpec((1, B, H), lambda m: (nb, 0, 0),
                          memory_space=win),          # in_w
-            # Per-block scalars ride as [NB, 1] with a (1, 1) SMEM window:
-            # Mosaic rejects rank-1 blocked specs narrower than the array.
-            pl.BlockSpec((1, 1), lambda m: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
-            pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
+            # Per-block params are pre-sliced/reshaped OUTSIDE the kernel
+            # (nb is static): Mosaic constrains the last two dims of every
+            # blocked window, so the block index must ride a leading
+            # singleton dim (affines: [NB, 1, H]) or be sliced away
+            # entirely (scalars: whole-array [1] SMEM windows).
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # a1 [1]
+            pl.BlockSpec((1, 1, H), lambda m: (nb, 0, 0),
+                         memory_space=win),                      # g1
+            pl.BlockSpec((1, 1, H), lambda m: (nb, 0, 0),
+                         memory_space=win),                      # b1
             pl.BlockSpec((1, P, H), lambda m: (nb, 0, 0),
                          memory_space=win),          # dw_w
-            pl.BlockSpec((1, 1), lambda m: (nb, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
-            pl.BlockSpec((1, H), lambda m: (nb, 0), memory_space=win),
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # a2 [1]
+            pl.BlockSpec((1, 1, H), lambda m: (nb, 0, 0),
+                         memory_space=win),                      # g2
+            pl.BlockSpec((1, 1, H), lambda m: (nb, 0, 0),
+                         memory_space=win),                      # b2
             pl.BlockSpec((1, H, B), lambda m: (nb, 0, 0),
                          memory_space=win),          # out_w
         ],
@@ -289,10 +296,11 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
     )(
         x_res, c_res, g,
         in_w.astype(g.dtype),
-        jnp.asarray(a1, f32).reshape(NB, 1),
-        g1.astype(f32), b1.astype(f32), w,
-        jnp.asarray(a2, f32).reshape(NB, 1),
-        g2.astype(f32), b2.astype(f32),
+        jnp.asarray(a1, f32).reshape(NB)[nb].reshape(1),
+        g1.astype(f32).reshape(NB, 1, H), b1.astype(f32).reshape(NB, 1, H),
+        w,
+        jnp.asarray(a2, f32).reshape(NB)[nb].reshape(1),
+        g2.astype(f32).reshape(NB, 1, H), b2.astype(f32).reshape(NB, 1, H),
         out_w.astype(g.dtype),
     )
     return out
