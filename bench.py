@@ -136,12 +136,12 @@ def main():
     T = int(seg_sec * sr)
 
     # Fastest measured policy on v5e (see docs/results.md sweeps, rounds
-    # 1-3): NO remat with the R-repeat scan fully unrolled — unrolling lets
-    # XLA schedule across repeats and stop spilling. Batch 5 is the
-    # per-chip sweet spot (15.9 ms, ~1256 audio-s/s; batch 8 degrades to
-    # 30.0 ms / 1066 — scheduling, not memory). The Pallas training tiers
-    # ("whole"/"hybrid") are memory tiers: both measured slower than this
-    # XLA path (docs/results.md round 3).
+    # 1-3 for the exact run-to-run figures): NO remat with the R-repeat
+    # scan fully unrolled — unrolling lets XLA schedule across repeats and
+    # stop spilling. Batch 5 is the per-chip sweet spot (~15.9-16.0 ms,
+    # ~1250-1260 audio-s/s; batch 8 degrades to ~30 ms — scheduling, not
+    # memory). The Pallas training tiers ("whole"/"hybrid") are memory
+    # tiers: both measured slower than this XLA path (docs/results.md).
     cfg = ConvTasNetConfig(remat=False, scan_unroll=4,
                            use_pallas=jax.default_backend() != "cpu")
     model = ConvTasNet(cfg)
