@@ -25,7 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, required=True,
                    help="directory including mix.json, s1.json, s2.json")
     p.add_argument("--cal_sdr", type=int, default=0,
-                   help="also compute SDRi (slow host-side BSS eval)")
+                   help="also compute SDRi (BSS-Eval v3)")
+    p.add_argument("--sdr_backend", default="auto",
+                   choices=["auto", "host", "device"],
+                   help="where BSS-Eval runs: 'device' = batched jitted "
+                        "JAX (one Gram factorization per utterance shared "
+                        "by estimates and anchor; f32), 'host' = the f64 "
+                        "numpy implementation (ops/metrics.py), 'auto' = "
+                        "device on TPU, host elsewhere")
     p.add_argument("--sample_rate", default=8000, type=int)
     p.add_argument("--batch_size", default=1, type=int)
     p.add_argument("--cv_maxlen", default=1e9, type=float)
@@ -42,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "divide are zero-row-padded, metrics unchanged)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel size for the forward pass")
+    p.add_argument("--cp", default=1, type=int,
+                   help="context-parallel size: shard the frame axis of "
+                        "each (long) utterance over devices — halo-"
+                        "exchanged dilated convs, psum'd gLN stats, exact "
+                        "OLA seams; composable with --dp (gLN/cLN only)")
     return p
 
 
@@ -56,18 +68,36 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     cfg, params, state = load_model(args.model_path)
     cfg = apply_use_pallas(cfg, args.use_pallas)
 
-    # DP/TP evaluation (round-3: the reference evals single-device;
-    # on a multi-chip host that leaves (n-1)/n of the machine idle).
+    # DP/TP/CP evaluation (the reference evals single-device; on a
+    # multi-chip host that leaves (n-1)/n of the machine idle, and bounds
+    # utterance length by memory — /root/reference/src/evaluate.py:44-51).
     # Batches shard over 'data' with zero-row padding (exact metrics);
-    # params take the TP NamedShardings when tp > 1.
+    # params take the TP NamedShardings when tp > 1; cp > 1 shards the
+    # frame axis of every utterance (parallel/context.py). With dp alone
+    # the forward runs under shard_map so the Pallas kernels see local
+    # batch slices instead of being replicated by GSPMD (make_dp_forward).
     shard_batch = None
-    dp, tp = getattr(args, "dp", 1), getattr(args, "tp", 1)
-    if dp != 1 or tp != 1:
-        from ..parallel.mesh import make_mesh, shard_batch_fn, shard_params_fn
+    fwd = None
+    dp = getattr(args, "dp", 1)
+    tp = getattr(args, "tp", 1)
+    cp = getattr(args, "cp", 1)
+    if dp != 1 or tp != 1 or cp != 1:
+        from ..parallel.mesh import (make_dp_forward, make_mesh,
+                                     shard_batch_fn, shard_params_fn)
+        from .common import resolve_mesh_pallas
 
-        mesh = make_mesh(dp=dp, tp=tp)
+        cfg = resolve_mesh_pallas(cfg, tp, cp)
+        mesh = make_mesh(dp=dp, tp=tp, cp=cp)
         params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
         shard_batch = shard_batch_fn(mesh)
+        if cp > 1:
+            from ..parallel.context import cp_forward
+
+            batch_axis = "data" if mesh.shape["data"] > 1 else None
+            fwd = (lambda p, s, m: cp_forward(
+                p, s, cfg, m, mesh, train=False, batch_axis=batch_axis))
+        elif tp == 1:
+            fwd = make_dp_forward(cfg, mesh)
 
     dataset = AudioDataset(
         args.data_dir, args.batch_size, sample_rate=args.sample_rate,
@@ -78,11 +108,44 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
 
     from ..models.conv_tasnet import forward
 
+    # Device-side BSS-Eval (round 4): the host implementation costs
+    # ~1.1 s/utt of single-thread numpy while separation takes ~0.5 ms —
+    # with cal_sdr=1 the chip idled >99.9% of eval wall time. The batched
+    # jitted pipeline (ops/metrics_device.py) fuses SDRi into the same
+    # program as the forward, so stage 3 stays device-bound.
+    use_device_sdr = bool(args.cal_sdr) and (
+        args.sdr_backend == "device"
+        or (args.sdr_backend == "auto" and jax.default_backend() == "tpu"))
+    if use_device_sdr:
+        from ..ops.metrics_device import sdr_improvement_batch
+
+        sdri_fn = sdr_improvement_batch
+        if shard_batch is not None:
+            # Shard the metric over 'data' with shard_map like the
+            # forward: rows are independent, so this is collective-free,
+            # and it sidesteps XLA:CPU's layout-restricted FFT thunk on
+            # GSPMD-sharded inputs.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as SpecP
+
+            sdri_fn = shard_map(
+                lambda s, r, m, l: sdr_improvement_batch(s, r, m, l),
+                mesh=mesh, in_specs=(SpecP("data"),) * 4,
+                out_specs=SpecP("data"), check_vma=False,
+                axis_names={"data"})
+
     @jax.jit
     def infer(mixture, source, lengths):
-        est, _ = forward(params, state, cfg, mixture, train=False)
+        if fwd is not None:
+            est = fwd(params, state, mixture)
+        else:
+            est, _ = forward(params, state, cfg, mixture, train=False)
         _, _, _, reordered = cal_loss(source, est, lengths)
-        return reordered
+        if use_device_sdr:
+            sdri = sdri_fn(source, reordered, mixture, lengths)
+        else:
+            sdri = jnp.zeros((mixture.shape[0],), jnp.float32)
+        return reordered, sdri
 
     total_sisnri = 0.0
     total_sdri = 0.0
@@ -103,12 +166,14 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
                                        jnp.asarray(batch.source))
             fut = infer(mix_d, src_d, len_d)
             if pending is not None:
-                yield pending[0], np.asarray(pending[1])
+                yield (pending[0], np.asarray(pending[1][0]),
+                       np.asarray(pending[1][1]))
             pending = (batch, fut)
         if pending is not None:
-            yield pending[0], np.asarray(pending[1])
+            yield (pending[0], np.asarray(pending[1][0]),
+                   np.asarray(pending[1][1]))
 
-    for batch, reordered in batches_with_async_infer():
+    for batch, reordered, sdri_dev in batches_with_async_infer():
         for b in range(batch.mixture.shape[0]):
             n = int(batch.lengths[b])
             mix = batch.mixture[b, :n]
@@ -117,7 +182,10 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
             count += 1
             log(f"Utt {count}")
             if args.cal_sdr:
-                sdri = sdr_improvement(src, est, mix)
+                if use_device_sdr:
+                    sdri = float(sdri_dev[b])
+                else:
+                    sdri = sdr_improvement(src, est, mix)
                 total_sdri += sdri
                 log(f"\tSDRi={sdri:.2f}")
             sisnri = si_snr_improvement(src, est, mix)

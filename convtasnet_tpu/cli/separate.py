@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "unchanged)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel size for the forward pass")
+    p.add_argument("--cp", default=1, type=int,
+                   help="context-parallel size: shard the frame axis of "
+                        "each (long) mixture over devices; composable "
+                        "with --dp (gLN/cLN only)")
     return p
 
 
@@ -55,16 +59,30 @@ def separate(args) -> int:
     cfg, params, state = load_model(args.model_path)
     cfg = apply_use_pallas(cfg, args.use_pallas)
 
-    # DP/TP inference over a device mesh (zero-row batch padding; the
+    # DP/TP/CP inference over a device mesh (zero-row batch padding; the
     # padded rows are never written). See cli/evaluate.py.
     shard_batch = None
-    dp, tp = getattr(args, "dp", 1), getattr(args, "tp", 1)
-    if dp != 1 or tp != 1:
-        from ..parallel.mesh import make_mesh, shard_batch_fn, shard_params_fn
+    fwd = None
+    dp = getattr(args, "dp", 1)
+    tp = getattr(args, "tp", 1)
+    cp = getattr(args, "cp", 1)
+    if dp != 1 or tp != 1 or cp != 1:
+        from ..parallel.mesh import (make_dp_forward, make_mesh,
+                                     shard_batch_fn, shard_params_fn)
+        from .common import resolve_mesh_pallas
 
-        mesh = make_mesh(dp=dp, tp=tp)
+        cfg = resolve_mesh_pallas(cfg, tp, cp)
+        mesh = make_mesh(dp=dp, tp=tp, cp=cp)
         params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
         shard_batch = shard_batch_fn(mesh)
+        if cp > 1:
+            from ..parallel.context import cp_forward
+
+            batch_axis = "data" if mesh.shape["data"] > 1 else None
+            fwd = (lambda p, s, m: cp_forward(
+                p, s, cfg, m, mesh, train=False, batch_axis=batch_axis))
+        elif tp == 1:
+            fwd = make_dp_forward(cfg, mesh)
 
     dataset = EvalDataset(args.mix_dir, args.mix_json,
                           batch_size=args.batch_size,
@@ -77,6 +95,8 @@ def separate(args) -> int:
 
     @jax.jit
     def infer(mixture):
+        if fwd is not None:
+            return fwd(params, state, mixture)
         est, _ = forward(params, state, cfg, mixture, train=False)
         return est
 

@@ -67,12 +67,19 @@ class ConvTasNetConfig:
     # (conv_tasnet.py:315-317). True reproduces that behavior; False keeps
     # gamma=1, beta=0.
     reference_norm_init: bool = True
-    # Pallas kernels for the hot ops: False = pure XLA; True = mid-chain
-    # kernels where measured faster (inference forward); "always" = mid-
-    # chain also in training; "whole" = whole-block kernel (inference) +
-    # recompute custom-VJP backward kernel (training, memory tier);
-    # "hybrid" = whole-block forward that saves the y1/c residuals + a
-    # no-remat fused-XLA backward (training speed tier).
+    # Pallas kernels for the hot ops. One auto switch plus two explicit
+    # training tiers (benchmark/memory opt-ins):
+    #   False    = pure XLA everywhere.
+    #   True     = AUTO: inference picks the best kernel that fits VMEM
+    #              (whole-TCN mega-kernel -> per-block whole-block kernel
+    #              -> XLA); training stays on XLA's no-remat backward,
+    #              the measured fastest trainer on v5e (docs/results.md).
+    #   "whole"  = same inference tiers; training opts into the recompute
+    #              custom-VJP backward kernel (memory tier, ~8x less
+    #              activation HBM than no-remat).
+    #   "hybrid" = same inference tiers; training opts into the
+    #              saved-residual Pallas fwd+bwd pair (memory tier,
+    #              ~6x less activation HBM at lower overhead).
     use_pallas: object = False
 
     def __post_init__(self):

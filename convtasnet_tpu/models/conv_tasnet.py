@@ -150,87 +150,65 @@ def _temporal_block(
     dilation: int,
     train: bool,
     axis_name: Optional[str] = None,
-    fused_valid_k: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
     """One residual block (conv_tasnet.py:212-272): 1x1 -> PReLU -> norm ->
-    dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual.
-
-    fused_valid_k: when set, x is frame-padded to a 32-aligned K and the
-    fused Pallas mid-chain runs with exact statistics over the first
-    fused_valid_k frames (pad hoisted out of the block loop)."""
+    dilated depthwise [-> chomp] -> PReLU -> norm -> 1x1, + residual."""
     dt = cfg.dtype
     res = x
     y = pointwise(x, bp["in_w"], dt).astype(dt)
     new_state = {} if bstate is not None else None
-    if fused_valid_k is not None:
-        from ..ops.pallas.fused_block import fused_tcn_mid
-
-        y = fused_tcn_mid(
-            y, bp["in_prelu"], bp["in_gamma"], bp["in_beta"], bp["dw_w"],
-            bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
-            cfg.norm_type, dilation, cfg.causal,
-            jax.default_backend() == "cpu",
-            fused_valid_k if fused_valid_k != y.shape[1] else None,
-        )
-    else:
-        y = prelu(y, bp["in_prelu"])
-        s_in = None if bstate is None else {"mean": bstate["in_mean"], "var": bstate["in_var"]}
-        y, s_in = apply_norm(
-            cfg.norm_type, y, {"gamma": bp["in_gamma"], "beta": bp["in_beta"]},
-            s_in, train, axis_name,
-        )
-        y = depthwise_dilated(y, bp["dw_w"], dilation, cfg.causal, axis_name)
-        y = prelu(y, bp["dw_prelu"])
-        s_dw = None if bstate is None else {"mean": bstate["dw_mean"], "var": bstate["dw_var"]}
-        y, s_dw = apply_norm(
-            cfg.norm_type, y, {"gamma": bp["dw_gamma"], "beta": bp["dw_beta"]},
-            s_dw, train, axis_name,
-        )
-        if bstate is not None:
-            new_state = {
-                "in_mean": s_in["mean"], "in_var": s_in["var"],
-                "dw_mean": s_dw["mean"], "dw_var": s_dw["var"],
-            }
+    y = prelu(y, bp["in_prelu"])
+    s_in = None if bstate is None else {"mean": bstate["in_mean"], "var": bstate["in_var"]}
+    y, s_in = apply_norm(
+        cfg.norm_type, y, {"gamma": bp["in_gamma"], "beta": bp["in_beta"]},
+        s_in, train, axis_name,
+    )
+    y = depthwise_dilated(y, bp["dw_w"], dilation, cfg.causal, axis_name)
+    y = prelu(y, bp["dw_prelu"])
+    s_dw = None if bstate is None else {"mean": bstate["dw_mean"], "var": bstate["dw_var"]}
+    y, s_dw = apply_norm(
+        cfg.norm_type, y, {"gamma": bp["dw_gamma"], "beta": bp["dw_beta"]},
+        s_dw, train, axis_name,
+    )
+    if bstate is not None:
+        new_state = {
+            "in_mean": s_in["mean"], "in_var": s_in["var"],
+            "dw_mean": s_dw["mean"], "dw_var": s_dw["var"],
+        }
     y = pointwise(y, bp["out_w"], dt).astype(dt)
     return res + y, new_state
 
 
-def _use_fused_mid(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
-                   train: bool = False) -> bool:
-    """Fused Pallas mid-chain applies to stateless norms when the [K, H]
-    slabs fit the kernel's VMEM budget (double-buffered + bordered
-    activation-dtype slabs). Forward and backward both exist as Pallas
-    kernels (fused_block.py / fused_block_bwd.py, three HBM slab transfers
-    each); measured on v5e at the paper config the forward wins slightly
-    (8.35 vs 8.43 ms) while the training step still trails XLA's fusion
-    pipeline (43.1 vs 38.7 ms — the serialized per-block DMAs don't
-    overlap the surrounding matmuls), so use_pallas=True enables the
-    kernels for inference only and use_pallas="always" forces them in
-    training too."""
-    if not cfg.use_pallas or cfg.use_pallas in ("whole", "hybrid"):
-        return False
-    if cfg.norm_type == "BN" or bstate is not None:
-        return False
-    if train and cfg.use_pallas != "always":
-        return False
-    K = x.shape[1]
-    slab = K * cfg.H * cfg.dtype.itemsize
-    return 3 * slab <= 12 * 1024 * 1024
-
-
 def _use_fused_whole(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
                      train: bool = False) -> bool:
-    """Whole-block kernel (both 1x1 matmuls inside; fused_whole_block.py):
-    stateless norms, and the x/conv/two-pass slabs plus weights must fit
-    VMEM. Training runs through either the recompute custom-VJP backward
-    kernel ("whole", whole_block_vjp.py — keeps four [K(+2*span), H] slabs
-    plus the pipelined [K, B] x/g/dx blocks resident) or the hybrid path
-    ("hybrid", whole_block_hybrid.py — the forward additionally keeps the
-    y1/c residual slabs in VMEM while streaming them to HBM), checked
-    separately."""
-    if cfg.use_pallas not in ("whole", "hybrid"):
+    """Kernel-tier auto dispatch (one user switch, VERDICT round-3 #6).
+
+    Any truthy use_pallas enables the whole-block kernel family for
+    INFERENCE (both 1x1 matmuls inside; fused_whole_block.py, upgraded to
+    the whole-TCN mega-kernel in separate() when it fits VMEM) — the
+    measured-fastest forwards on v5e (docs/results.md). The dominated
+    mid-chain tier (round-1 fused_block.py) was deleted in round 4: auto
+    dispatch never selected it (the whole-block tier fits the same K
+    range and beats it everywhere measured).
+
+    TRAINING stays on XLA's no-remat backward for True/"auto" — the
+    measured fastest trainer on v5e — with the Pallas training tiers as
+    explicit opt-ins: "whole" = recompute custom-VJP backward kernel
+    (whole_block_vjp.py — keeps four [K(+2*span), H] slabs plus the
+    pipelined [K, B] x/g/dx blocks resident; ~8x less activation HBM),
+    "hybrid" = saved-residual pair (whole_tcn_hybrid.py / fallback
+    whole_block_hybrid.py — the forward additionally keeps the y1/c
+    residual slabs in VMEM while streaming them to HBM; ~6x less)."""
+    if not cfg.use_pallas:
         return False
     if cfg.norm_type == "BN" or bstate is not None:
+        return False
+    if train and cfg.use_pallas not in ("whole", "hybrid"):
+        return False
+    # Hardware Mosaic requires the channel (lane) dims 128-aligned: the
+    # kernels slice [.., B]/[.., H] slabs whose last dim must match the
+    # (8, 128) tiling. Interpret mode (CPU tests) has no such constraint.
+    if jax.default_backend() != "cpu" and (cfg.B % 128 or cfg.H % 128):
         return False
     K = -(-x.shape[1] // 128) * 128
     it = cfg.dtype.itemsize
@@ -274,15 +252,13 @@ def separate(
     block_params = sp["blocks"]
     block_state = state.get("blocks") if has_bn else None
 
-    # Fused Pallas mid-chain: pad the frame axis to 32 alignment ONCE here
+    # Fused Pallas path: pad the frame axis to 128 alignment ONCE here
     # (not per block — each per-block pad/slice would cost a full HBM copy)
     # and run every block's kernel with exact stats over the true K frames.
     fused_valid_k = None
     fused_whole = (axis_name is None
                    and _use_fused_whole(cfg, block_state, x, train))
-    fused_mid = (axis_name is None and not fused_whole
-                 and _use_fused_mid(cfg, block_state, x, train))
-    if fused_whole or fused_mid:
+    if fused_whole:
         fused_valid_k = K
         K_pad = -(-K // 128) * 128
         if K_pad != K:
@@ -365,7 +341,7 @@ def separate(
             if cfg.remat == "block":
                 blk = jax.checkpoint(
                     _temporal_block,
-                    static_argnums=(3, 4, 5, 6, 7),
+                    static_argnums=(3, 4, 5, 6),
                 )
             elif cfg.remat == "dots":
                 # Keep every matmul output, recompute only elementwise
@@ -373,11 +349,10 @@ def separate(
                 # "block" at the cost of two [M,K,H]-sized residuals/block.
                 blk = jax.checkpoint(
                     _temporal_block,
-                    static_argnums=(3, 4, 5, 6, 7),
+                    static_argnums=(3, 4, 5, 6),
                     policy=jax.checkpoint_policies.dots_saveable,
                 )
-            x, nbs = blk(x, bp, bs, cfg, 2**xi, train, axis_name,
-                         fused_valid_k)
+            x, nbs = blk(x, bp, bs, cfg, 2**xi, train, axis_name)
             if nbs is not None:
                 for k, v in nbs.items():
                     new_bs_r.setdefault(k, []).append(v)

@@ -1,10 +1,11 @@
 """Whole-temporal-block Pallas kernel: both 1x1 matmuls fused in.
 
-The mid-chain kernel (fused_block.py) still hands the [K, H] activation
-back to XLA between the two pointwise convs, so each block costs four
-HBM slab transfers (read x, write/read the H-wide mid activation, write
-out) plus an XLA<->Pallas boundary that defeats overlap. This kernel
-executes the ENTIRE residual block (conv_tasnet.py:212-238)
+The round-1 mid-chain kernel (deleted in round 4 — dominated tier) still
+handed the [K, H] activation back to XLA between the two pointwise convs,
+so each block cost four HBM slab transfers (read x, write/read the H-wide
+mid activation, write out) plus an XLA<->Pallas boundary that defeats
+overlap. This kernel executes the ENTIRE residual block
+(conv_tasnet.py:212-238)
 
     out = x + out_w( norm2( prelu2( dwconv( norm1( prelu1( in_w(x) ))))))
 
@@ -58,8 +59,7 @@ def _block_kernel(x_hbm, in_w_ref, a1_ref, g1_ref, b1_ref, w_ref, a2_ref,
                   norm_type, dilation, causal, P, K, K_pad, B, H, TK, save):
     """Grid step = one batch item. slabs[2] double-buffer the [K_pad, B]
     x slab across grid steps and are overwritten in place by the output
-    (residual consumed tile-by-tile), exactly the fused_block.py pipeline
-    discipline. With save=True, y1/c residual slabs are DMA'd to HBM,
+    (residual consumed tile-by-tile). With save=True, y1/c residual slabs are DMA'd to HBM,
     overlapped with the passes that follow their final write."""
     if save:
         (out_hbm, y1_hbm, c_hbm, slabs, bslab, y1slab, cslab,

@@ -67,7 +67,14 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
                       dx_ref, din_w_ref, da1_ref, dg1_ref, db1_ref, dw_ref,
                       da2_ref, dg2_ref, db2_ref, dout_w_ref,
                       hslab, *,
-                      norm_type, dilation, causal, NB, P, K, K_pad, B, H):
+                      norm_type, dilation, causal, NB, P, K, K_pad, B, H, J):
+    """One grid step processes J batch items (J=2 when VMEM allows —
+    VERDICT round-3 item 2): the J per-item gradient chains are fully
+    independent straight-line code in one kernel body, so Mosaic's
+    scheduler can overlap item A's serial VPU elementwise chains with
+    item B's five MXU dots — the same phase-interleave trick the forward
+    mega-kernel measured at +5% (whole_tcn._tcn_kernel). Only the tiny
+    f32 weight-grad accumulator '+=' ops order the two chains."""
     m = pl.program_id(0)
     n = K * H
     f32 = jnp.float32
@@ -97,11 +104,6 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
         def rmask(v):
             return v
 
-    x = x_ref[0, 0]             # [K_pad, B] dt, pad rows exact zeros
-    cf = rmask(c_ref[0, 0])     # dt; stored c pad rows are unmasked
-    # Upstream cotangent rows beyond K are meaningless (the forward
-    # zeroed those outputs) — masked every block, cheap.
-    g_dt = rmask(g_ref[0])
     in_w = in_w_ref[0]          # [B, H] dt
     out_w = out_w_ref[0]        # [H, B] dt
     a1 = a1_ref[0]
@@ -109,138 +111,159 @@ def _bwd_block_kernel(x_ref, c_ref, g_ref,
     g1d = g1_ref[0].astype(dt)        # [1, H]
     g2d = g2_ref[0].astype(dt)
 
-    # ---- recompute chain 1 from x (bit-identical dot to forward) ----
-    y1 = jax.lax.dot_general(
-        x, in_w, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-    ).astype(dt)
-    a = _prelu(y1, a1)
-    if gln:
-        mean1 = jnp.sum(a, dtype=f32) / n
-        inv1 = jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(a.astype(f32) * a.astype(f32)) / n
-                        - mean1 * mean1, 0.0) + EPS)
-    else:
-        af = a.astype(f32)
-        mean1 = jnp.mean(af, axis=-1, keepdims=True)
-        dv = af - mean1
-        inv1 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
-    ahat = (a - mean1.astype(dt)) * inv1.astype(dt)
-    b = rmask(g1d * ahat + b1_ref[0].astype(dt))
+    for j in range(J):
+        x = x_ref[j, 0]             # [K_pad, B] dt, pad rows exact zeros
+        cf = rmask(c_ref[j, 0])     # dt; stored c pad rows are unmasked
+        # Upstream cotangent rows beyond K are meaningless (the forward
+        # zeroed those outputs) — masked every block, cheap.
+        g_dt = rmask(g_ref[j])
 
-    # ---- recompute chain 2 from c ----
-    e = _prelu(cf, a2)
-    if gln:
-        mean2 = jnp.sum(e, dtype=f32) / n
-        inv2 = jax.lax.rsqrt(
-            jnp.maximum(jnp.sum(e.astype(f32) * e.astype(f32)) / n
-                        - mean2 * mean2, 0.0) + EPS)
-    else:
-        ef = e.astype(f32)
-        mean2 = jnp.mean(ef, axis=-1, keepdims=True)
-        dv = ef - mean2
-        inv2 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True) + EPS)
-    ehat = (e - mean2.astype(dt)) * inv2.astype(dt)
-    z_dt = g2d * ehat + b2_ref[0].astype(dt)
+        # ---- recompute chain 1 from x (bit-identical dot to forward) ----
+        y1 = jax.lax.dot_general(
+            x, in_w, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(dt)
+        a = _prelu(y1, a1)
+        if gln:
+            mean1 = jnp.sum(a, dtype=f32) / n
+            inv1 = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(a.astype(f32) * a.astype(f32)) / n
+                            - mean1 * mean1, 0.0) + EPS)
+        else:
+            af = a.astype(f32)
+            mean1 = jnp.mean(af, axis=-1, keepdims=True)
+            dv = af - mean1
+            inv1 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True)
+                                 + EPS)
+        ahat = (a - mean1.astype(dt)) * inv1.astype(dt)
+        b = rmask(g1d * ahat + b1_ref[0].astype(dt))
 
-    # ---- out_w backward ----
-    dz = jax.lax.dot_general(       # [K, H] = g [K, B] x out_w [H, B]^T
-        g_dt, out_w, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-    ).astype(dt)
-    dout_w_ref[...] += jax.lax.dot_general(  # [H, B] = z^T g
-        z_dt, g_dt, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )
+        # ---- recompute chain 2 from c ----
+        e = _prelu(cf, a2)
+        if gln:
+            mean2 = jnp.sum(e, dtype=f32) / n
+            inv2 = jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(e.astype(f32) * e.astype(f32)) / n
+                            - mean2 * mean2, 0.0) + EPS)
+        else:
+            ef = e.astype(f32)
+            mean2 = jnp.mean(ef, axis=-1, keepdims=True)
+            dv = ef - mean2
+            inv2 = jax.lax.rsqrt(jnp.mean(dv * dv, axis=-1, keepdims=True)
+                                 + EPS)
+        ehat = (e - mean2.astype(dt)) * inv2.astype(dt)
+        z_dt = g2d * ehat + b2_ref[0].astype(dt)
 
-    # ---- norm2 / prelu2 backward ----
-    dg2_ref[0] += jnp.sum(dz.astype(f32) * ehat.astype(f32), axis=0)
-    db2_ref[0] += jnp.sum(dz, axis=0, dtype=f32)
-    dzg = dz * g2d
-    if gln:
-        de = inv2.astype(dt) * (
-            dzg - (jnp.sum(dzg, dtype=f32) / n).astype(dt)
-            - ehat * (jnp.sum(dzg.astype(f32)
-                              * ehat.astype(f32)) / n).astype(dt))
-    else:
-        de = inv2.astype(dt) * (
-            dzg - jnp.mean(dzg.astype(f32), -1, keepdims=True).astype(dt)
-            - ehat * jnp.mean((dzg * ehat).astype(f32), -1,
-                              keepdims=True).astype(dt))
-    de = rmask(de)
-    da2_ref[0] += jnp.sum(de.astype(f32) * jnp.minimum(cf.astype(f32), 0.0))
-    dc = de * _dprelu(cf, a2)
+        # ---- out_w backward ----
+        dz = jax.lax.dot_general(   # [K, H] = g [K, B] x out_w [H, B]^T
+            g_dt, out_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt)
+        dout_w_ref[...] += jax.lax.dot_general(  # [H, B] = z^T g
+            z_dt, g_dt, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
 
-    # ---- depthwise conv backward ----
-    # dw[p] = sum_k dc[k] * b[k - left + p*d]: b in the bordered slab.
-    hslab[span: span + K_pad, :] = b
-    if span > 0:
-        hslab[0:span, :] = jnp.zeros((span, H), dt)
-    hslab[span + K:, :] = jnp.zeros((hslab.shape[0] - span - K, H), dt)
-    base = span - left
-    dwacc = []
-    for p in range(P):
-        tap = hslab[base + p * d: base + p * d + K_pad, :]
-        dwacc.append(jnp.sum(dc.astype(f32) * tap.astype(f32), axis=0))
-    dw_ref[...] += jnp.stack(dwacc)
-    # db[j] = sum_p w[p] * dc[j + left - p*d]: dc reuses the slab.
-    hslab[span: span + K_pad, :] = dc
-    if span > 0:
-        hslab[0:span, :] = jnp.zeros((span, H), dt)
-    hslab[span + K:, :] = jnp.zeros((hslab.shape[0] - span - K, H), dt)
-    db = None
-    for p in range(P):
-        off = span + left - p * d
-        tap = w_ref[0, p].astype(dt) * hslab[off: off + K_pad, :]
-        db = tap if db is None else db + tap
-    db = rmask(db)
+        # ---- norm2 / prelu2 backward ----
+        dg2_ref[0] += jnp.sum(dz.astype(f32) * ehat.astype(f32), axis=0)
+        db2_ref[0] += jnp.sum(dz, axis=0, dtype=f32)
+        dzg = dz * g2d
+        if gln:
+            de = inv2.astype(dt) * (
+                dzg - (jnp.sum(dzg, dtype=f32) / n).astype(dt)
+                - ehat * (jnp.sum(dzg.astype(f32)
+                                  * ehat.astype(f32)) / n).astype(dt))
+        else:
+            de = inv2.astype(dt) * (
+                dzg - jnp.mean(dzg.astype(f32), -1,
+                               keepdims=True).astype(dt)
+                - ehat * jnp.mean((dzg * ehat).astype(f32), -1,
+                                  keepdims=True).astype(dt))
+        de = rmask(de)
+        da2_ref[0] += jnp.sum(de.astype(f32)
+                              * jnp.minimum(cf.astype(f32), 0.0))
+        dc = de * _dprelu(cf, a2)
 
-    # ---- norm1 / prelu1 backward ----
-    dg1_ref[0] += jnp.sum(db.astype(f32) * ahat.astype(f32), axis=0)
-    db1_ref[0] += jnp.sum(db, axis=0, dtype=f32)
-    dbg = db * g1d
-    if gln:
-        da = inv1.astype(dt) * (
-            dbg - (jnp.sum(dbg, dtype=f32) / n).astype(dt)
-            - ahat * (jnp.sum(dbg.astype(f32)
-                              * ahat.astype(f32)) / n).astype(dt))
-    else:
-        da = inv1.astype(dt) * (
-            dbg - jnp.mean(dbg.astype(f32), -1, keepdims=True).astype(dt)
-            - ahat * jnp.mean((dbg * ahat).astype(f32), -1,
-                              keepdims=True).astype(dt))
-    da = rmask(da)
-    da1_ref[0] += jnp.sum(da.astype(f32) * jnp.minimum(y1.astype(f32), 0.0))
-    dy1_dt = da * _dprelu(y1, a1)
+        # ---- depthwise conv backward ----
+        # dw[p] = sum_k dc[k] * b[k - left + p*d]: b in the bordered slab.
+        hslab[j, span: span + K_pad, :] = b
+        if span > 0:
+            hslab[j, 0:span, :] = jnp.zeros((span, H), dt)
+        hslab[j, span + K:, :] = jnp.zeros(
+            (hslab.shape[1] - span - K, H), dt)
+        base = span - left
+        dwacc = []
+        for p in range(P):
+            tap = hslab[j, base + p * d: base + p * d + K_pad, :]
+            dwacc.append(jnp.sum(dc.astype(f32) * tap.astype(f32), axis=0))
+        dw_ref[...] += jnp.stack(dwacc)
+        # db[k] = sum_p w[p] * dc[k + left - p*d]: dc reuses the slab.
+        hslab[j, span: span + K_pad, :] = dc
+        if span > 0:
+            hslab[j, 0:span, :] = jnp.zeros((span, H), dt)
+        hslab[j, span + K:, :] = jnp.zeros(
+            (hslab.shape[1] - span - K, H), dt)
+        db = None
+        for p in range(P):
+            off = span + left - p * d
+            tap = w_ref[0, p].astype(dt) * hslab[j, off: off + K_pad, :]
+            db = tap if db is None else db + tap
+        db = rmask(db)
 
-    # ---- in_w backward + residual path ----
-    din_w_ref[...] += jax.lax.dot_general(   # [B, H] = x^T dy1
-        x, dy1_dt, (((0,), (0,)), ((), ())), preferred_element_type=f32,
-    )
-    dx = jax.lax.dot_general(       # [K, B] = dy1 [K, H] x in_w [B, H]^T
-        dy1_dt, in_w, (((1,), (1,)), ((), ())), preferred_element_type=f32,
-    ).astype(dt) + g_dt
-    dx_ref[0] = rmask(dx)
+        # ---- norm1 / prelu1 backward ----
+        dg1_ref[0] += jnp.sum(db.astype(f32) * ahat.astype(f32), axis=0)
+        db1_ref[0] += jnp.sum(db, axis=0, dtype=f32)
+        dbg = db * g1d
+        if gln:
+            da = inv1.astype(dt) * (
+                dbg - (jnp.sum(dbg, dtype=f32) / n).astype(dt)
+                - ahat * (jnp.sum(dbg.astype(f32)
+                                  * ahat.astype(f32)) / n).astype(dt))
+        else:
+            da = inv1.astype(dt) * (
+                dbg - jnp.mean(dbg.astype(f32), -1,
+                               keepdims=True).astype(dt)
+                - ahat * jnp.mean((dbg * ahat).astype(f32), -1,
+                                  keepdims=True).astype(dt))
+        da = rmask(da)
+        da1_ref[0] += jnp.sum(da.astype(f32)
+                              * jnp.minimum(y1.astype(f32), 0.0))
+        dy1_dt = da * _dprelu(y1, a1)
+
+        # ---- in_w backward + residual path ----
+        din_w_ref[...] += jax.lax.dot_general(   # [B, H] = x^T dy1
+            x, dy1_dt, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        dx = jax.lax.dot_general(   # [K, B] = dy1 [K, H] x in_w [B, H]^T
+            dy1_dt, in_w, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+        ).astype(dt) + g_dt
+        dx_ref[j] = rmask(dx)
 
 
 def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
-                    out_w, norm_type, causal, X, K, interpret):
+                    out_w, norm_type, causal, X, K, interpret, J=1):
     M, K_pad, B = g.shape
     NB, P, H = w.shape
+    assert M % J == 0
     d = 2 ** (nb % X)
     span = (P - 1) * d
     f32 = jnp.float32
     kernel = partial(_bwd_block_kernel, norm_type=norm_type, dilation=d,
-                     causal=causal, NB=NB, P=P, K=K, K_pad=K_pad, B=B, H=H)
+                     causal=causal, NB=NB, P=P, K=K, K_pad=K_pad, B=B, H=H,
+                     J=J)
     win = pltpu.VMEM
     acc = lambda shape: pl.BlockSpec(  # noqa: E731 — resident accumulator
         shape, lambda m: (0,) * len(shape), memory_space=win)
     out = pl.pallas_call(
         kernel,
-        grid=(M,),
+        grid=(M // J,),
         in_specs=[
-            pl.BlockSpec((1, 1, K_pad, B), lambda m: (m, nb, 0, 0),
+            pl.BlockSpec((J, 1, K_pad, B), lambda m: (m, nb, 0, 0),
                          memory_space=win),          # x_nb
-            pl.BlockSpec((1, 1, K_pad, H), lambda m: (m, nb, 0, 0),
+            pl.BlockSpec((J, 1, K_pad, H), lambda m: (m, nb, 0, 0),
                          memory_space=win),          # c_nb
-            pl.BlockSpec((1, K_pad, B), lambda m: (m, 0, 0),
+            pl.BlockSpec((J, K_pad, B), lambda m: (m, 0, 0),
                          memory_space=win),          # upstream g
             pl.BlockSpec((1, B, H), lambda m: (nb, 0, 0),
                          memory_space=win),          # in_w
@@ -265,7 +288,7 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
                          memory_space=win),          # out_w
         ],
         out_specs=[
-            pl.BlockSpec((1, K_pad, B), lambda m: (m, 0, 0),
+            pl.BlockSpec((J, K_pad, B), lambda m: (m, 0, 0),
                          memory_space=win),          # dx
             acc((B, H)),                             # din_w
             pl.BlockSpec((1,), lambda m: (0,), memory_space=pltpu.SMEM),
@@ -287,10 +310,10 @@ def _bwd_block_call(nb, g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2,
             jax.ShapeDtypeStruct((H, B), f32),              # dout_w
         ],
         scratch_shapes=[
-            pltpu.VMEM((K_pad + 2 * span, H), g.dtype),     # b/dc slab
+            pltpu.VMEM((J, K_pad + 2 * span, H), g.dtype),  # b/dc slabs
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -312,16 +335,32 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
     saved residuals -> (dx, din_w, da1, dg1, db1, dw, da2, dg2, db2,
     dout_w), weight grads per block summed over items in f32 (stacked
     [NB, ...])."""
-    NB = w.shape[0]
+    NB, P, H = w.shape
+    M, K_pad, B = g.shape
+    # Pair batch items per grid step when VMEM fits (phase-interleave,
+    # VERDICT r3 #2). Odd batches pad one zero item ONCE here (a zero
+    # item's grads are exactly zero through every chain — g=0 kills dz/
+    # de/dc/db/da — so accumulators and sliced-off dx rows are exact).
+    J = 2 if (M > 1 and tcn_bwd_vmem_need(
+        K_pad, B, H, NB, P, X, g.dtype.itemsize, J=2)
+        <= 115 * 1024 * 1024) else 1
+    M_pad = -(-M // J) * J
+    if M_pad != M:
+        padw = ((0, M_pad - M),)
+        g = jnp.pad(g, padw + ((0, 0),) * 2)
+        x_res = jnp.pad(x_res, padw + ((0, 0),) * 3)
+        c_res = jnp.pad(c_res, padw + ((0, 0),) * 3)
     per_block = {k: [] for k in range(10)}
     dx = g
     for nb in range(NB - 1, -1, -1):
         res = _bwd_block_call(nb, dx, x_res, c_res, in_w, a1, g1, b1, w,
                               a2, g2, b2, out_w, norm_type, causal, X, K,
-                              interpret)
+                              interpret, J=J)
         dx = res[0]
         for i in range(1, 10):
             per_block[i].append(res[i])
+    if M_pad != M:
+        dx = dx[:M]
     # Collected in reverse block order; stack forward.
     stacked = [jnp.stack(per_block[i][::-1]) for i in range(1, 10)]
     din_w, da1, dg1, db1, dw, da2, dg2, db2, dout_w = stacked
@@ -332,17 +371,22 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
 
 
 def tcn_bwd_vmem_need(K_pad: int, B: int, H: int, NB: int, P: int, X: int,
-                      itemsize: int) -> int:
+                      itemsize: int, J: int = 1) -> int:
     """VMEM bytes for the per-block backward kernel's dispatch check
-    (worst block: span_max border)."""
+    (worst block: span_max border). J = batch items per grid step; the
+    windows, slabs, and live temps scale with J, the weights/accums
+    don't."""
     span_max = (P - 1) * 2 ** (X - 1)
-    return ((2 * K_pad * B * 3                   # x/g/dx windows (x2 bufs)
-             + 2 * K_pad * H                     # c window (x2 bufs)
-             + (K_pad + 2 * span_max) * H        # bordered b/dc slab
-             + 2 * B * H + P * H                 # block weights
-             ) * itemsize
+    return (J * (2 * K_pad * B * 3               # x/g/dx windows (x2 bufs)
+                 + 2 * K_pad * H                 # c window (x2 bufs)
+                 + (K_pad + 2 * span_max) * H    # bordered b/dc slab
+                 ) * itemsize
+            + (2 * B * H + P * H) * itemsize     # block weights
             + (2 * B * H + P * H + 4 * H) * 4    # f32 accums
-            + 6 * K_pad * H * 4)                 # f32 temp headroom
+            # Live [K_pad, H] chain temps are activation-dtype (the f32
+            # pieces are scalar/row stats); ~8 live per item, validated
+            # by compiling J=2 at the paper config on v5e.
+            + J * 8 * K_pad * H * itemsize)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))

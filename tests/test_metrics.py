@@ -138,7 +138,9 @@ def test_bss_eval_full_pipeline_matches_oracle_flen512(seed):
     independent implementation. Five seeded cases (noisy separations,
     permuted, with channel crosstalk and short-FIR filtering) must agree
     with the definition-level lstsq oracle to <=1e-3 dB on SDR/SIR/SAR and
-    recover the same permutation."""
+    recover the same permutation. Round 4: the DEVICE implementation
+    (ops/metrics_device.py, f32 jitted JAX) is cross-checked against the
+    same oracle here, making this a three-way gate (VERDICT r3 #3)."""
     rng = np.random.default_rng(seed)
     T, flen = 1500, 512
     s = rng.standard_normal((2, T))
@@ -156,3 +158,74 @@ def test_bss_eval_full_pipeline_matches_oracle_flen512(seed):
     np.testing.assert_allclose(sdr_g, sdr_o, atol=1e-3)
     np.testing.assert_allclose(sir_g, sir_o, atol=1e-3)
     np.testing.assert_allclose(sar_g, sar_o, atol=1e-3)
+
+    from convtasnet_tpu.ops.metrics_device import bss_eval_sources_device
+
+    sdr_d, sir_d, perm_d = bss_eval_sources_device(
+        s.astype(np.float32), est.astype(np.float32), filt_len=flen)
+    np.testing.assert_array_equal(perm_d, perm_o)
+    np.testing.assert_allclose(sdr_d, sdr_o, atol=1e-3)
+    np.testing.assert_allclose(sir_d, sir_o, atol=1e-3)
+
+
+# --------------------------------------------------------------------------
+# Device-side BSS-Eval (ops/metrics_device.py, VERDICT round-3 #3)
+# --------------------------------------------------------------------------
+
+def test_device_sdri_matches_host_padded_batch(rng):
+    """The batched device SDRi on a zero-padded batch with garbage
+    estimates past each row's true length must equal the host per-
+    utterance values on the trimmed signals: masking + the exactness of
+    linear FFT correlations under zero padding."""
+    from convtasnet_tpu.data.synthetic import synthetic_batch
+    from convtasnet_tpu.ops.metrics_device import sdr_improvement_batch
+
+    mix, _, src = synthetic_batch(rng, batch=3, C=2, T=6000, sample_rate=8000)
+    lens = np.array([6000, 5000, 4096])
+    for b in range(3):
+        mix[b, lens[b]:] = 0
+        src[b, :, lens[b]:] = 0
+    est = (src + 0.1 * rng.standard_normal(src.shape)).astype(np.float32)
+    for b in range(3):  # device must mask this garbage out
+        est[b, :, lens[b]:] = rng.standard_normal((2, 6000 - lens[b]))
+    host = np.array([
+        sdr_improvement(src[b, :, :lens[b]], est[b, :, :lens[b]],
+                        mix[b, :lens[b]], filt_len=512)
+        for b in range(3)
+    ])
+    dev = np.asarray(sdr_improvement_batch(src, est, mix, lens,
+                                           filt_len=512))
+    # Synthetic tonal mixtures are the conditioning worst case for the
+    # f32 Gram (see metrics_device.robust_cholesky); broadband signals
+    # agree to ~1e-6 dB.
+    np.testing.assert_allclose(dev, host, atol=2e-2)
+
+
+def test_device_bss_eval_degenerate_pure_tones():
+    """Pure sinusoid sources make the delayed-source Gram effectively
+    rank-2 per source — the f32 worst case. The NaN-fallback ridge plus
+    iterated-Tikhonov refinement must keep the device within ~1e-2 dB of
+    the f64 host here (and produce no NaNs)."""
+    from convtasnet_tpu.ops.metrics_device import bss_eval_sources_device
+
+    t = np.arange(4000) / 8000
+    s = np.stack([np.sin(2 * np.pi * 440 * t),
+                  np.sin(2 * np.pi * 660 * t)]).astype(np.float32)
+    e = (s + 0.05 * np.random.default_rng(2).standard_normal((2, 4000))
+         ).astype(np.float32)
+    sdr_h, _, _, perm_h = bss_eval_sources(s, e, filt_len=512)
+    sdr_d, _, perm_d = bss_eval_sources_device(s, e, filt_len=512)
+    assert np.all(np.isfinite(sdr_d))
+    np.testing.assert_array_equal(perm_d, perm_h)
+    np.testing.assert_allclose(sdr_d, sdr_h, atol=1e-2)
+
+
+def test_device_bss_eval_finds_permutation(rng):
+    from convtasnet_tpu.ops.metrics_device import bss_eval_sources_device
+
+    s = rng.standard_normal((2, 2000)).astype(np.float32)
+    est = (s[::-1] + 0.01 * rng.standard_normal((2, 2000))
+           ).astype(np.float32)
+    sdr, sir, perm = bss_eval_sources_device(s, est, filt_len=64)
+    np.testing.assert_array_equal(perm, [1, 0])
+    assert np.all(sdr > 20)

@@ -120,7 +120,7 @@ if mode == "tp":
     rep = NamedSharding(mesh, P())
     mix, src, lens = jax.device_put((mix, src, lens), rep)
     step = make_train_step(model, opt, max_norm=5.0)
-else:
+elif mode == "cp":
     # cp: 8-way ('context',) ring — the frame-axis halo ppermute and
     # OLA tail ppermute between context ranks 3 and 4 cross the
     # process boundary, as do their backward transposes.
@@ -131,6 +131,42 @@ else:
     params, state, opt_state, mix, src, lens = jax.device_put(
         (params, state, opt_state, mix, src, lens), rep)
     step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0)
+elif mode == "dpcp":
+    # dp=2 x cp=4 with the CONTEXT axis laid out to span both
+    # processes (grid[d, c] = devices[2c + d]): the halo/OLA-tail
+    # ppermutes cross the process boundary WHILE the batch is
+    # data-sharded — the composition a single-axis test can't witness
+    # (VERDICT round-3 item 4). The batch enters sharded over 'data'.
+    from convtasnet_tpu.parallel.context import make_cp_train_step
+
+    mesh = Mesh(devices.reshape(4, 2).T, ("data", "context"))
+    rep = NamedSharding(mesh, P())
+    params, state, opt_state = jax.device_put((params, state, opt_state),
+                                              rep)
+    row = NamedSharding(mesh, P("data"))
+    mix, src, lens = (jax.device_put(mix, row), jax.device_put(src, row),
+                      jax.device_put(lens, row))
+    step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0,
+                              batch_axis="data")
+else:
+    # dptpcp: the full 3-axis ('data','model','context') mesh at
+    # 2 x 2 x 2 with the context axis crossing the process boundary
+    # (grid[d, m, c] = devices[4c + 2m + d]); TP rides GSPMD auto axes
+    # inside the CP shard_map body, so every block's Megatron psum AND
+    # the manual halo ppermutes run against the composed layout, the
+    # latter across processes.
+    from convtasnet_tpu.parallel.context import make_cp_train_step
+    from convtasnet_tpu.parallel.mesh import shard_params_fn
+
+    grid = np.transpose(devices.reshape(2, 2, 2), (2, 1, 0))
+    mesh = Mesh(grid, ("data", "model", "context"))
+    params, state, opt_state = shard_params_fn(mesh, tp=2)(
+        params, state, opt_state)
+    row = NamedSharding(mesh, P("data"))
+    mix, src, lens = (jax.device_put(mix, row), jax.device_put(src, row),
+                      jax.device_put(lens, row))
+    step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0,
+                              batch_axis="data")
 
 losses = []
 for _ in range(3):
@@ -202,12 +238,16 @@ def test_two_process_dp_allreduce(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["tp", "cp"])
+@pytest.mark.parametrize("mode", ["tp", "cp", "dpcp", "dptpcp"])
 def test_two_process_tp_cp(tmp_path, mode):
-    """VERDICT round-2 item 4: multi-process validation beyond DP. 'tp'
-    runs dp=1 x tp=8 (every block's Megatron psum crosses the process
-    boundary); 'cp' runs an 8-way context ring (halo/tail ppermutes cross
-    it). Both ranks must observe identical falling losses."""
+    """Multi-process validation beyond DP (VERDICT round-2 item 4 and
+    round-3 item 4). 'tp' runs dp=1 x tp=8 (every block's Megatron psum
+    crosses the process boundary); 'cp' runs an 8-way context ring
+    (halo/tail ppermutes cross it); 'dpcp' composes dp=2 x cp=4 with the
+    context axis spanning both processes while the batch is data-sharded;
+    'dptpcp' runs the full 3-axis 2x2x2 mesh with the context axis
+    crossing processes and TP riding GSPMD auto axes inside the CP
+    shard_map body. Both ranks must observe identical falling losses."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "worker_tp_cp.py"
     worker.write_text(_WORKER_TP_CP)

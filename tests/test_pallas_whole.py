@@ -52,7 +52,7 @@ def test_whole_block_matches_xla_block(norm_type, causal, dilation, K):
     cfg = ConvTasNetConfig(N=16, L=8, B=B, H=H, P=P, X=4, R=1, C=2,
                            norm_type=norm_type, causal=causal,
                            compute_dtype="float32", use_pallas=False)
-    want, _ = _temporal_block(x, bp, None, cfg, dilation, False, None, None)
+    want, _ = _temporal_block(x, bp, None, cfg, dilation, False)
     got = whole_block_pallas(
         x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
         bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
