@@ -337,13 +337,21 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
     [NB, ...])."""
     NB, P, H = w.shape
     M, K_pad, B = g.shape
-    # Pair batch items per grid step when VMEM fits (phase-interleave,
-    # VERDICT r3 #2). Odd batches pad one zero item ONCE here (a zero
-    # item's grads are exactly zero through every chain — g=0 kills dz/
-    # de/dc/db/da — so accumulators and sliced-off dx rows are exact).
-    J = 2 if (M > 1 and tcn_bwd_vmem_need(
-        K_pad, B, H, NB, P, X, g.dtype.itemsize, J=2)
-        <= 115 * 1024 * 1024) else 1
+    # J=2 phase-interleave pairing (VERDICT r3 #2) was built and
+    # MEASURED NEGATIVE on v5e at the paper config: batch-5 step 23.50 ms
+    # vs 18.54 ms for J=1 (even the 5/6 padding-corrected 19.6 ms loses)
+    # — under the doubled VMEM footprint Mosaic serializes rather than
+    # overlaps the two chains, closing the round-3 floor argument from
+    # the last untried direction (docs/results.md round 4). Default
+    # stays J=1; CONVTASNET_BWD_J=2 re-enables the pairing for
+    # experiments (odd batches pad one zero item, grads exact — a zero
+    # item's g=0 kills dz/de/dc/db/da through every chain).
+    import os as _os
+    J = int(_os.environ.get("CONVTASNET_BWD_J", "1") or "1")
+    if J > 1 and (M == 1 or tcn_bwd_vmem_need(
+            K_pad, B, H, NB, P, X, g.dtype.itemsize, J=J)
+            > 115 * 1024 * 1024):
+        J = 1
     M_pad = -(-M // J) * J
     if M_pad != M:
         padw = ((0, M_pad - M),)

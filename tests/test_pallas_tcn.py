@@ -230,10 +230,13 @@ def test_whole_tcn_train_grads_match_xla(norm_type, causal, K):
             rtol=2e-3, atol=5e-4, err_msg=f"grad mismatch at {k}")
 
 
-def test_whole_tcn_train_grads_odd_batch():
-    """J=2 backward pairing (VERDICT r3 #2) with an ODD batch: the
-    zero-padded third item must contribute exactly zero to every weight
-    gradient and its dx row must be sliced off."""
+def test_whole_tcn_train_grads_odd_batch(monkeypatch):
+    """J=2 backward pairing with an ODD batch: the zero-padded third
+    item must contribute exactly zero to every weight gradient and its
+    dx row must be sliced off. (J=2 measured slower than J=1 on v5e and
+    defaults off — forced here via CONVTASNET_BWD_J to keep the pairing
+    path correct for experiments.)"""
+    monkeypatch.setenv("CONVTASNET_BWD_J", "2")
     from convtasnet_tpu.ops.pallas.whole_tcn_hybrid import whole_tcn_train
 
     rng = np.random.default_rng(9)

@@ -58,7 +58,36 @@ def main():
         opt = Optimizer("adam", lr=1e-3)
         params, state = model.init(jax.random.key(0))
         opt_state = opt.init(params)
-        step = make_train_step(model, opt, max_norm=5.0)
+        if path == "micro":
+            # Two INDEPENDENT half-batch chains in one program: probes
+            # whether XLA's scheduler overlaps one chain's serial gLN
+            # reduction syncs with the other's matmuls (the J=2
+            # phase-interleave idea applied at the XLA level). Loss is
+            # the row-weighted mean, exactly cal_loss's full-batch value.
+            from functools import partial as _partial
+
+            from convtasnet_tpu.training.optim import clip_by_global_norm
+
+            def micro_loss(p, s, m, y, n):
+                Bm = m.shape[0]
+                bounds = [0, (Bm + 1) // 2, Bm]
+                tot = 0.0
+                for i in range(2):
+                    lo, hi = bounds[i], bounds[i + 1]
+                    est, _ = forward(p, s, cfg, m[lo:hi], train=True)
+                    l, *_ = cal_loss(y[lo:hi], est, n[lo:hi])
+                    tot = tot + l * (hi - lo)
+                return tot / Bm
+
+            @_partial(jax.jit, donate_argnums=(0, 1, 2))
+            def step(params, opt_state, state, m, y, n):
+                loss, grads = jax.value_and_grad(
+                    lambda p: micro_loss(p, state, m, y, n))(params)
+                grads, gn = clip_by_global_norm(grads, 5.0)
+                params, opt_state = opt.update(grads, opt_state, params)
+                return params, opt_state, state, loss, gn
+        else:
+            step = make_train_step(model, opt, max_norm=5.0)
 
         @jax.jit
         def fwd_loss(p, s, m, y, n):
