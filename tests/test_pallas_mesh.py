@@ -169,14 +169,20 @@ def test_evaluate_cp_matches_single(ckpt_and_data):
 
 def test_evaluate_dp_cp_composed(ckpt_and_data):
     """DP x CP on one mesh: batches shard over 'data' while each row's
-    frame axis shards over 'context'."""
+    frame axis shards over 'context'; the device BSS-Eval shard_maps
+    over 'data' on the same 3-axis mesh."""
     ckpt, json_root, _ = ckpt_and_data
     tt = os.path.join(json_root, "tt")
-    ref = _eval(ckpt, tt, ["--use_pallas", "0"])
-    got = _eval(ckpt, tt, ["--dp", "2", "--cp", "4",
-                           "--batch_size", "2"])
+    ref = _eval(ckpt, tt, ["--use_pallas", "0", "--cal_sdr", "1",
+                           "--sdr_backend", "host"])
+    got = _eval(ckpt, tt, ["--dp", "2", "--cp", "4", "--batch_size", "2",
+                           "--cal_sdr", "1", "--sdr_backend", "device"])
     assert got["count"] == ref["count"] == 4
     assert abs(got["si_snri"] - ref["si_snri"]) < 0.05
+    # CP's internal padding perturbs the separation slightly (gLN sees a
+    # few extra frames), so SDRi moves a bit more than the SDR-backend
+    # difference alone.
+    assert abs(got["sdri"] - ref["sdri"]) < 0.3
 
 
 def test_evaluate_device_sdr_matches_host(ckpt_and_data):

@@ -1,0 +1,87 @@
+"""Streamed-vs-offline exactness on a REAL trained causal checkpoint.
+
+tests/test_streaming.py proves sample-exactness on random weights; the
+round-3 verdict (item 7) asks for the same check driven from the soaked
+causal checkpoint. Streams one (or --n) evaluation mixtures through the
+stateful chunked separator and compares against the offline forward.
+
+Usage: python tools/check_streaming_ckpt.py --model_path <ckpt> \
+           --mix_json <tt/mix.json> [--chunk_ms 20] [--n 2]
+Prints one JSON line with the max |streamed - offline| sample error.
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from bench import _cache  # noqa: E402
+
+_cache()
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--mix_json", required=True)
+    ap.add_argument("--chunk_ms", type=float, default=20.0)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--compute_dtype", default=None,
+                    help="override the checkpoint's compute dtype (e.g. "
+                         "float32) to separate chunked-vs-offline matmul "
+                         "accumulation-order divergence from real "
+                         "streaming-state bugs")
+    args = ap.parse_args()
+
+    from convtasnet_tpu.data.wavio import read_wav
+    from convtasnet_tpu.models.conv_tasnet import forward
+    from convtasnet_tpu.models.streaming import StreamingSeparator
+    from convtasnet_tpu.training.checkpoint import load_model
+
+    cfg, params, state = load_model(args.model_path)
+    if args.compute_dtype:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
+    assert cfg.causal, "streaming needs a causal checkpoint"
+    with open(args.mix_json) as f:
+        entries = json.load(f)[: args.n]
+
+    S = cfg.stride
+    chunk_len = max(int(round(args.chunk_ms / 1000.0 * 8000)), cfg.L)
+    chunk_len = -(-chunk_len // S) * S
+    sep = StreamingSeparator(cfg, params, batch=1)
+    worst = 0.0
+    for path, _ in entries:
+        y, sr = read_wav(path)
+        y = np.asarray(y, np.float32)
+        T = len(y)
+        n_chunks = max(-(-T // chunk_len), 1)
+        padded = np.zeros((1, n_chunks * chunk_len), np.float32)
+        padded[0, :T] = y
+        sep.reset()
+        outs = [np.asarray(sep.push(jnp.asarray(
+            padded[:, k * chunk_len:(k + 1) * chunk_len])))
+            for k in range(n_chunks)]
+        outs.append(np.asarray(sep.flush()))
+        streamed = np.concatenate(outs, axis=-1)[0][:, : padded.shape[1]]
+        offline, _ = forward(params, state, cfg,
+                             jnp.asarray(padded))
+        off = np.asarray(offline[0])[:, : streamed.shape[1]]
+        err = float(np.max(np.abs(streamed - off)))
+        scale = float(np.max(np.abs(off)) + 1e-9)
+        worst = max(worst, err / scale)
+    print(json.dumps({
+        "metric": "streamed_vs_offline_max_rel_err",
+        "value": worst, "chunk_ms": args.chunk_ms, "n": args.n,
+        "compute_dtype": str(cfg.compute_dtype),
+        "model_path": args.model_path,
+    }))
+
+
+if __name__ == "__main__":
+    main()
