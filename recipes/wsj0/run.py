@@ -116,9 +116,16 @@ def detect_sphere_root(explicit: str = "auto") -> str:
     """
     if explicit != "auto":
         return explicit
+    # The relative candidate is anchored to the repo root, not the cwd —
+    # auto-detection must not silently activate on an unrelated tree that
+    # happens to contain the split dirs when run from elsewhere (ADVICE
+    # round 4).
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     candidates = [os.environ.get("WSJ0_ROOT", "")]
     candidates += [
-        "data/wsj0", "/data/wsj0", "/corpora/wsj0", "/root/corpora/wsj0",
+        os.path.join(repo_root, "data", "wsj0"), "/data/wsj0",
+        "/corpora/wsj0", "/root/corpora/wsj0",
         "/mnt/wsj0", os.path.expanduser("~/wsj0"),
     ]
     for root in candidates:
@@ -129,6 +136,7 @@ def detect_sphere_root(explicit: str = "auto") -> str:
         for base in (root, os.path.join(root, "wsj0")):
             if any(os.path.isdir(os.path.join(base, s))
                    for s in _WSJ0_SPLITS):
+                print(f"detect_sphere_root: using WSJ0 corpus at {base}")
                 return base
     return ""
 

@@ -51,13 +51,18 @@ def main():
     with open(args.mix_json) as f:
         entries = json.load(f)[: args.n]
 
+    # chunk_ms -> samples uses the wavs' ACTUAL rate (a 16 kHz set at a
+    # hardcoded 8000 would report chunk_ms wrong by 2x; ADVICE round 4);
+    # all entries must agree on the rate since chunk_len is fixed.
+    _, sr0 = read_wav(entries[0][0])
     S = cfg.stride
-    chunk_len = max(int(round(args.chunk_ms / 1000.0 * 8000)), cfg.L)
+    chunk_len = max(int(round(args.chunk_ms / 1000.0 * sr0)), cfg.L)
     chunk_len = -(-chunk_len // S) * S
     sep = StreamingSeparator(cfg, params, batch=1)
     worst = 0.0
     for path, _ in entries:
         y, sr = read_wav(path)
+        assert sr == sr0, f"mixed sample rates in {args.mix_json}: {sr} vs {sr0}"
         y = np.asarray(y, np.float32)
         T = len(y)
         n_chunks = max(-(-T // chunk_len), 1)
@@ -77,7 +82,8 @@ def main():
         worst = max(worst, err / scale)
     print(json.dumps({
         "metric": "streamed_vs_offline_max_rel_err",
-        "value": worst, "chunk_ms": args.chunk_ms, "n": args.n,
+        "value": worst, "chunk_ms": args.chunk_ms, "sample_rate": sr0,
+        "n": args.n,
         "compute_dtype": str(cfg.compute_dtype),
         "model_path": args.model_path,
     }))
