@@ -54,11 +54,37 @@ def build_parser() -> argparse.ArgumentParser:
                         "each (long) utterance over devices — halo-"
                         "exchanged dilated convs, psum'd gLN stats, exact "
                         "OLA seams; composable with --dp (gLN/cLN only)")
+    # Multi-host (TPU pods): same surface as the train CLI. Every process
+    # runs this program; the mesh spans all hosts' chips, batches shard
+    # globally, and metrics reduce ON DEVICE to replicated scalars (the
+    # per-utterance estimates are not host-addressable across processes).
+    p.add_argument("--multihost", default=0, type=int,
+                   help="initialize jax.distributed before building the "
+                        "mesh; metrics are device-reduced (SI-SNRi and "
+                        "SDRi both run on device; --sdr_backend host is "
+                        "unavailable)")
+    p.add_argument("--coordinator_address", default=None, type=str)
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     return p
 
 
 def evaluate(args, log: Callable[[str], None] = print) -> dict:
     import jax
+
+    # Multi-host: join the process group BEFORE any device query (the
+    # train CLI pattern, cli/train.py) so the mesh spans every host.
+    multihost = (bool(getattr(args, "multihost", 0))
+                 or getattr(args, "coordinator_address", None) is not None)
+    if multihost:
+        from ..parallel import distributed
+
+        distributed.initialize(getattr(args, "coordinator_address", None),
+                               getattr(args, "num_processes", None),
+                               getattr(args, "process_id", None))
+        if args.cal_sdr and args.sdr_backend == "host":
+            raise SystemExit("--multihost needs --sdr_backend device/auto: "
+                             "global estimates are not host-addressable")
 
     from ..utils.observability import enable_compilation_cache
     enable_compilation_cache()
@@ -81,7 +107,9 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     dp = getattr(args, "dp", 1)
     tp = getattr(args, "tp", 1)
     cp = getattr(args, "cp", 1)
-    if dp != 1 or tp != 1 or cp != 1:
+    if multihost and dp == 1 and tp == 1 and cp == 1:
+        dp = 0  # all devices across all hosts — the point of a pod eval
+    if dp != 1 or tp != 1 or cp != 1 or multihost:
         from ..parallel.mesh import (make_dp_forward, make_mesh,
                                      shard_batch_fn, shard_params_fn)
         from .common import resolve_mesh_pallas
@@ -89,7 +117,12 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
         cfg = resolve_mesh_pallas(cfg, tp, cp)
         mesh = make_mesh(dp=dp, tp=tp, cp=cp)
         params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
-        shard_batch = shard_batch_fn(mesh)
+        if multihost:
+            from ..parallel.distributed import shard_batch_fn_multihost
+
+            shard_batch = shard_batch_fn_multihost(mesh)
+        else:
+            shard_batch = shard_batch_fn(mesh)
         if cp > 1:
             from ..parallel.context import cp_forward
 
@@ -114,7 +147,8 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
     # jitted pipeline (ops/metrics_device.py) fuses SDRi into the same
     # program as the forward, so stage 3 stays device-bound.
     use_device_sdr = bool(args.cal_sdr) and (
-        args.sdr_backend == "device"
+        multihost  # global estimates never reach the host (see above)
+        or args.sdr_backend == "device"
         or (args.sdr_backend == "auto" and jax.default_backend() == "tpu"))
     if use_device_sdr:
         from ..ops.metrics_device import sdr_improvement_batch
@@ -146,6 +180,62 @@ def evaluate(args, log: Callable[[str], None] = print) -> dict:
         else:
             sdri = jnp.zeros((mixture.shape[0],), jnp.float32)
         return reordered, sdri
+
+    if multihost:
+        # Per-utterance estimates live sharded across hosts and are not
+        # host-addressable, so the metrics reduce ON DEVICE to replicated
+        # scalars: SI-SNRi via the batched device metric, SDRi via the
+        # device BSS-Eval, masked over the zero-padded rows — every rank
+        # fetches identical totals (cli/train.py loss pattern).
+        from ..ops.metrics_device import si_snr_improvement_batch
+
+        si_fn = si_snr_improvement_batch
+        if shard_batch is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as SpecP
+
+            si_fn = shard_map(
+                lambda s, r, m, l: si_snr_improvement_batch(s, r, m, l),
+                mesh=mesh, in_specs=(SpecP("data"),) * 4,
+                out_specs=SpecP("data"), check_vma=False,
+                axis_names={"data"})
+
+        @jax.jit
+        def infer_totals(mixture, source, lengths):
+            if fwd is not None:
+                est = fwd(params, state, mixture)
+            else:
+                est, _ = forward(params, state, cfg, mixture, train=False)
+            _, _, _, reordered = cal_loss(source, est, lengths)
+            valid = lengths > 0
+            si = jnp.where(valid, si_fn(source, reordered, mixture, lengths),
+                           0.0)
+            if use_device_sdr:
+                sd = jnp.where(
+                    valid, sdri_fn(source, reordered, mixture, lengths), 0.0)
+            else:
+                sd = jnp.zeros_like(si)
+            return (jnp.sum(si), jnp.sum(sd),
+                    jnp.sum(valid.astype(jnp.float32)))
+
+        totals = np.zeros(3)
+        pending = None
+        for batch in loader:  # one-deep pipeline like the single-host path
+            mix_d, len_d, src_d = shard_batch(
+                batch.mixture, batch.lengths, batch.source)
+            fut = infer_totals(mix_d, src_d, len_d)
+            if pending is not None:
+                totals += [float(v) for v in pending]
+            pending = fut
+        if pending is not None:
+            totals += [float(v) for v in pending]
+        count = int(round(totals[2]))
+        result = {"si_snri": totals[0] / max(count, 1), "count": count}
+        if args.cal_sdr:
+            result["sdri"] = totals[1] / max(count, 1)
+            log(f"Average SDR improvement: {result['sdri']:.2f}")
+        log(f"Average SISNR improvement: {result['si_snri']:.2f}")
+        return result
 
     total_sisnri = 0.0
     total_sdri = 0.0

@@ -41,11 +41,33 @@ def build_parser() -> argparse.ArgumentParser:
                    help="context-parallel size: shard the frame axis of "
                         "each (long) mixture over devices; composable "
                         "with --dp (gLN/cLN only)")
+    # Multi-host: separation is embarrassingly parallel over utterances,
+    # so each process takes a stride-slice of the batch list and runs it
+    # on ITS OWN chips (dp/tp/cp meshes build over jax.local_devices());
+    # no cross-host collectives, and every rank writes only its slice's
+    # wavs. This is the serving-style layout — contrast cli/evaluate.py,
+    # whose global mesh + device-reduced metrics need the whole pod.
+    p.add_argument("--multihost", default=0, type=int,
+                   help="initialize jax.distributed, stripe utterance "
+                        "batches across processes, run per-process local "
+                        "meshes")
+    p.add_argument("--coordinator_address", default=None, type=str)
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     return p
 
 
 def separate(args) -> int:
     import jax
+
+    multihost = (bool(getattr(args, "multihost", 0))
+                 or getattr(args, "coordinator_address", None) is not None)
+    if multihost:
+        from ..parallel import distributed
+
+        distributed.initialize(getattr(args, "coordinator_address", None),
+                               getattr(args, "num_processes", None),
+                               getattr(args, "process_id", None))
 
     from ..utils.observability import enable_compilation_cache
     enable_compilation_cache()
@@ -72,7 +94,10 @@ def separate(args) -> int:
         from .common import resolve_mesh_pallas
 
         cfg = resolve_mesh_pallas(cfg, tp, cp)
-        mesh = make_mesh(dp=dp, tp=tp, cp=cp)
+        # Multi-host: each rank's mesh spans only ITS devices (the batch
+        # stripe below makes the work disjoint; no cross-host collectives).
+        mesh = make_mesh(dp=dp, tp=tp, cp=cp,
+                         devices=jax.local_devices() if multihost else None)
         params, state, _ = shard_params_fn(mesh, tp)(params, state, None)
         shard_batch = shard_batch_fn(mesh)
         if cp > 1:
@@ -84,10 +109,32 @@ def separate(args) -> int:
         elif tp == 1:
             fwd = make_dp_forward(cfg, mesh)
 
-    dataset = EvalDataset(args.mix_dir, args.mix_json,
+    mix_dir, mix_json = args.mix_dir, args.mix_json
+    if multihost and mix_dir is not None:
+        # The auto-manifest write must happen once, not once per rank
+        # (concurrent writes of the same file can interleave): rank 0
+        # materializes it, everyone else waits on the barrier.
+        from jax.experimental.multihost_utils import sync_global_devices
+
+        from ..data.manifest import preprocess_one_dir
+
+        if jax.process_index() == 0:
+            mix_json = preprocess_one_dir(mix_dir, mix_dir, "mix",
+                                          args.sample_rate)
+        sync_global_devices("separate_manifest")
+        if jax.process_index() != 0:
+            mix_json = os.path.join(mix_dir, "mix.json")
+        mix_dir = None
+    dataset = EvalDataset(mix_dir, mix_json,
                           batch_size=args.batch_size,
                           sample_rate=args.sample_rate,
                           pad_to_multiple=args.pad_to_multiple)
+    if multihost:
+        # Stride-slice the batch list: ranks process disjoint utterances
+        # and each writes only its own outputs (manifest order is shared,
+        # so the union covers every utterance exactly once).
+        dataset.batches = dataset.batches[
+            jax.process_index()::jax.process_count()]
     loader = DataLoader(dataset, num_workers=2)
     os.makedirs(args.out_dir, exist_ok=True)
 

@@ -229,3 +229,28 @@ def test_device_bss_eval_finds_permutation(rng):
     sdr, sir, perm = bss_eval_sources_device(s, est, filt_len=64)
     np.testing.assert_array_equal(perm, [1, 0])
     assert np.all(sdr > 20)
+
+
+def test_device_si_snri_matches_host_padded_batch(rng):
+    """The batched device SI-SNRi (the multi-host evaluate reduction
+    path, cli/evaluate.py) on a zero-padded batch with garbage estimates
+    past each row's true length must match the host per-utterance metric
+    on the trimmed signals."""
+    from convtasnet_tpu.data.synthetic import synthetic_batch
+    from convtasnet_tpu.ops.metrics_device import si_snr_improvement_batch
+
+    mix, _, src = synthetic_batch(rng, batch=3, C=2, T=6000, sample_rate=8000)
+    lens = np.array([6000, 5000, 4096])
+    for b in range(3):
+        mix[b, lens[b]:] = 0
+        src[b, :, lens[b]:] = 0
+    est = (src + 0.1 * rng.standard_normal(src.shape)).astype(np.float32)
+    for b in range(3):  # device must mask this garbage out
+        est[b, :, lens[b]:] = rng.standard_normal((2, 6000 - lens[b]))
+    host = np.array([
+        si_snr_improvement(src[b, :, :lens[b]], est[b, :, :lens[b]],
+                           mix[b, :lens[b]])
+        for b in range(3)
+    ])
+    dev = np.asarray(si_snr_improvement_batch(src, est, mix, lens))
+    np.testing.assert_allclose(dev, host, atol=1e-3)

@@ -351,3 +351,122 @@ def test_two_process_train_cli(tmp_path):
     # Only the coordinator writes the best-model checkpoint.
     assert os.path.exists(os.path.join(save[0], "final.ckpt"))
     assert not os.path.exists(os.path.join(save[1], "final.ckpt"))
+
+
+@pytest.mark.slow
+def test_two_process_evaluate_separate_cli(tmp_path):
+    """Round-4 VERDICT item 6: stages 3/4 must span hosts, not just
+    training. Two evaluate-CLI processes join one 8-device DP mesh with
+    device-reduced metrics and must report identical averages matching
+    the single-process run; two separate-CLI processes stripe the
+    utterances over per-rank local meshes and together write every output
+    wav exactly once, sample-equal to the single-process outputs."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import jax
+    import numpy as np
+
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.synthetic import make_wav_dataset
+    from convtasnet_tpu.models.conv_tasnet import ConvTasNet
+    from convtasnet_tpu.training.checkpoint import save_checkpoint
+
+    json_root = make_wav_dataset(str(tmp_path / "data"), n_utts=4, C=2,
+                                 sample_rate=8000, min_sec=0.6, max_sec=0.9,
+                                 seed=7)
+    cfg = ConvTasNetConfig(N=16, L=8, B=16, H=32, P=3, X=2, R=2, C=2,
+                           compute_dtype="float32")
+    params, state = ConvTasNet(cfg).init(jax.random.key(0))
+    ckpt = str(tmp_path / "model.ckpt")
+    save_checkpoint(ckpt, cfg, jax.device_get(params), jax.device_get(state))
+
+    # Single-process references (in-process; conftest's 8-device CPU env).
+    from convtasnet_tpu.cli import evaluate as eval_cli
+    from convtasnet_tpu.cli import separate as sep_cli
+
+    # pad_to_multiple collapses every utterance to one compiled shape —
+    # without it this test compiles the device BSS-Eval pipeline once per
+    # distinct length, which on this 2-core host blows the subprocess
+    # timeout.
+    ref = eval_cli.evaluate(eval_cli.build_parser().parse_args([
+        "--model_path", ckpt, "--data_dir", os.path.join(json_root, "tt"),
+        "--cal_sdr", "1", "--sdr_backend", "device", "--batch_size", "2",
+        "--pad_to_multiple", "8000",
+    ]), log=lambda s: None)
+    out_ref = str(tmp_path / "sep_ref")
+    n_ref = sep_cli.separate(sep_cli.build_parser().parse_args([
+        "--model_path", ckpt,
+        "--mix_json", os.path.join(json_root, "tt", "mix.json"),
+        "--out_dir", out_ref, "--batch_size", "2",
+        "--pad_to_multiple", "8000",
+    ]))
+    assert n_ref == 4
+
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "PALLAS_AXON_POOL_IPS": "",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": repo,
+    })
+
+    def run_pair(module, extra):
+        port = _free_port()
+        argv = lambda pid: [
+            sys.executable, "-m", module,
+            "--model_path", ckpt,
+            "--coordinator_address", f"localhost:{port}",
+            "--num_processes", "2", "--process_id", str(pid),
+        ] + extra
+        procs = [subprocess.Popen(argv(pid), stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True,
+                                  env=env)
+                 for pid in range(2)]
+        outs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-3000:]
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait(timeout=30)
+        return outs
+
+    # --- evaluate: global mesh, device-reduced metrics ---
+    outs = run_pair("convtasnet_tpu.cli.evaluate", [
+        "--data_dir", os.path.join(json_root, "tt"),
+        "--cal_sdr", "1", "--sdr_backend", "device", "--batch_size", "2",
+        "--pad_to_multiple", "8000",
+    ])
+
+    def avg(out, key):
+        lines = [l for l in out.splitlines() if l.startswith(key)]
+        assert lines, out[-2000:]
+        return float(lines[-1].split(":")[1])
+
+    si = [avg(o, "Average SISNR improvement") for o in outs]
+    sd = [avg(o, "Average SDR improvement") for o in outs]
+    assert si[0] == si[1] and sd[0] == sd[1]  # replicated device totals
+    # Device f32 reduction vs the single-process (device-SDRi) reference.
+    np.testing.assert_allclose(si[0], ref["si_snri"], atol=5e-3)
+    np.testing.assert_allclose(sd[0], ref["sdri"], atol=5e-2)
+
+    # --- separate: rank-striped batches over per-rank local meshes ---
+    out_mh = str(tmp_path / "sep_mh")
+    outs = run_pair("convtasnet_tpu.cli.separate", [
+        "--mix_json", os.path.join(json_root, "tt", "mix.json"),
+        "--out_dir", out_mh, "--batch_size", "2", "--dp", "2",
+        "--pad_to_multiple", "8000",
+    ])
+    ref_files = sorted(os.listdir(out_ref))
+    assert sorted(os.listdir(out_mh)) == ref_files  # union covers all, once
+    from convtasnet_tpu.data.wavio import read_wav
+
+    for f in ref_files:
+        a, _ = read_wav(os.path.join(out_ref, f))
+        b, _ = read_wav(os.path.join(out_mh, f))
+        np.testing.assert_allclose(a, b, atol=2e-4)  # PCM_16 quantization
