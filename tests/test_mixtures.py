@@ -104,3 +104,92 @@ def test_random_pairs_use_distinct_speakers(tmp_path):
         assert spk[0] != spk[1]
         assert paths[0] != paths[1]
         assert snrs[0] == 0.0 and 0.0 <= snrs[1] <= 5.0
+
+
+# ---------------------------------------------------------------------------
+# ITU-T P.56 active speech level (round-5: the MERL activlev parity fix)
+# ---------------------------------------------------------------------------
+
+def _gated_speech(rng, n_bursts=6, burst=8000, gap=8000, amp=0.3):
+    """Speech-like bursts (harmonic + envelope) separated by silence."""
+    from convtasnet_tpu.data.synthetic import synthetic_sources
+
+    segs = []
+    for _ in range(n_bursts):
+        s = synthetic_sources(rng, 1, burst)[0]
+        segs += [amp * s / (np.sqrt((s**2).mean()) + 1e-12),
+                 np.zeros(gap, np.float32)]
+    return np.concatenate(segs).astype(np.float32)
+
+
+def test_p56_stationary_noise_is_fully_active(rng):
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    x = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    lvl, act = active_speech_level_p56(x, 8000)
+    rms = float(np.sqrt((x**2).mean()))
+    assert act > 0.95
+    assert abs(20 * np.log10(lvl / rms)) < 0.5
+
+
+def test_p56_gated_bursts_level_and_activity(rng):
+    """50%-duty bursts: the active level must track the BURST RMS (not
+    the halved whole-signal RMS) and the activity factor ~ the duty cycle
+    plus the 0.2 s hangover per burst."""
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    x = _gated_speech(rng, n_bursts=6, burst=8000, gap=8000, amp=0.3)
+    lvl, act = active_speech_level_p56(x, 8000)
+    burst_rms = 0.3
+    # The hangover admits ~0.2 s of trailing silence per burst into the
+    # active set, so the level sits slightly BELOW the burst RMS (~1 dB
+    # here) — never anywhere near the -3 dB a whole-signal RMS would give.
+    assert abs(20 * np.log10(lvl / burst_rms)) < 1.5
+    assert 0.45 < act < 0.72  # 0.5 duty + hangover/envelope tails
+
+
+def test_p56_scale_invariant_level_ratio(rng):
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    x = _gated_speech(rng)
+    l1, a1 = active_speech_level_p56(x, 8000)
+    l2, a2 = active_speech_level_p56(7.3 * x, 8000)
+    assert abs(l2 / l1 - 7.3) < 1e-3
+    assert abs(a1 - a2) < 1e-6
+
+
+def test_p56_silence_padding_invariant(rng):
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    x = _gated_speech(rng, n_bursts=4)
+    padded = np.concatenate([np.zeros(24000, np.float32), x,
+                             np.zeros(24000, np.float32)])
+    l1, a1 = active_speech_level_p56(x, 8000)
+    l2, a2 = active_speech_level_p56(padded, 8000)
+    assert abs(20 * np.log10(l2 / l1)) < 0.2
+    assert a2 < a1  # activity drops, level does not
+
+
+def test_p56_degenerate_inputs():
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    lvl, act = active_speech_level_p56(np.zeros(1000, np.float32), 8000)
+    assert act == 0.0 and lvl <= 1e-9
+    lvl, act = active_speech_level_p56(np.ones(4000, np.float32), 8000)
+    assert act == 1.0 and abs(lvl - 1.0) < 1e-6
+    lvl, act = active_speech_level_p56(np.zeros(0, np.float32), 8000)
+    assert act == 0.0
+
+
+def test_mix_pair_snr_on_gated_speech(rng):
+    """The SNR contract must hold by ACTIVE level on pause-laden speech —
+    exactly the case where plain RMS scaling is wrong by the duty cycle."""
+    from convtasnet_tpu.data.mixtures import active_speech_level_p56
+
+    a = _gated_speech(rng, n_bursts=4, burst=6000, gap=9000, amp=0.2)
+    b = _gated_speech(rng, n_bursts=5, burst=9000, gap=4000, amp=0.5)
+    T = min(len(a), len(b))
+    mix, scaled, gain = mix_pair([a[:T], b[:T]], [0.0, 4.0], mode="min")
+    la, _ = active_speech_level_p56(scaled[0], 8000)
+    lb, _ = active_speech_level_p56(scaled[1], 8000)
+    assert abs(20 * np.log10(la / lb) - 4.0) < 0.3
