@@ -148,10 +148,13 @@ def test_whole_tcn_save_residuals_match_forward():
 
     from convtasnet_tpu.ops.pallas.whole_tcn import whole_tcn_pallas
 
+    # fold_norm2=False: the save path keeps the reference op order, so
+    # the bit-exact comparison is against the unfolded forward (the
+    # folded-vs-unfolded tolerance is test_whole_tcn_fold_matches_unfolded).
     want = whole_tcn_pallas(
         x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
         bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
-        bp["out_w"], "gLN", False, X, interpret=True)
+        bp["out_w"], "gLN", False, X, interpret=True, fold_norm2=False)
     got, x_res, c_res = whole_tcn_pallas(
         x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
         bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
@@ -297,3 +300,24 @@ def test_model_hybrid_training_uses_mega_and_matches_xla():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-3, atol=1e-4,
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.parametrize("norm_type,causal,K", [
+    ("gLN", False, 200),
+    ("cLN", True, 300),
+])
+def test_whole_tcn_fold_matches_unfolded(norm_type, causal, K):
+    """The round-5 norm2->matmul fold (z @ W rewritten as
+    inv*(e @ (g2 (.) W)) - inv*mean*(g2 @ W) + b2 @ W) must match the
+    unfolded kernel to f32 rounding — same math, different association."""
+    rng = np.random.default_rng(3)
+    B, H, P, X, R = 128, 256, 3, 2, 2
+    bp = _stacked_blocks(rng, R * X, B, H, P)
+    x = jnp.asarray(rng.normal(size=(2, K, B)).astype(np.float32) * 0.3)
+    args = (x, bp["in_w"], bp["in_prelu"], bp["in_gamma"], bp["in_beta"],
+            bp["dw_w"], bp["dw_prelu"], bp["dw_gamma"], bp["dw_beta"],
+            bp["out_w"], norm_type, causal, X)
+    want = whole_tcn_pallas(*args, interpret=True, fold_norm2=False)
+    got = whole_tcn_pallas(*args, interpret=True, fold_norm2=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-5)
