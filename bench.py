@@ -124,6 +124,74 @@ def _cost_analysis(step, *args):
         return None
 
 
+def _matmul_flops_forward(cfg, M: int, T: int) -> float:
+    """Analytic MXU-floor FLOPs of the inference forward: every matmul /
+    conv contraction at 2*MACs (encoder, bottleneck, per-block in/dw/out,
+    mask conv, decoder) — the denominator of the docs/results.md round-3
+    '~2.2 ms MXU floor' accounting, now emitted by the bench itself."""
+    K = (T - cfg.L) // cfg.stride + 1
+    NB = cfg.R * cfg.X
+    per_frame = (
+        2 * cfg.L * cfg.N                      # encoder frame matmul
+        + 2 * cfg.N * cfg.B                    # bottleneck 1x1
+        + NB * (4 * cfg.B * cfg.H              # in_w + out_w per block
+                + 2 * cfg.P * cfg.H)           # depthwise taps
+        + 2 * cfg.B * cfg.C * cfg.N            # mask 1x1
+        + 2 * cfg.C * cfg.N * cfg.L            # decoder frame linear
+    )
+    return float(M) * K * per_frame
+
+
+def _report_kernel_tier(cfg, T: int) -> str:
+    """Which forward tier the auto dispatch picks at this shape (mirrors
+    models/conv_tasnet._use_fused_whole + the mega VMEM-fit check)."""
+    import jax.numpy as jnp
+
+    from convtasnet_tpu.models.conv_tasnet import _use_fused_whole
+    from convtasnet_tpu.ops.pallas.whole_tcn import tcn_vmem_need
+
+    K = cfg.num_frames(T)
+    x = jnp.zeros((1, K, cfg.B), cfg.dtype)
+    if not _use_fused_whole(cfg, None, x, train=False):
+        return "xla"
+    K_pad = -(-K // 128) * 128
+    fits = tcn_vmem_need(K_pad, cfg.B, cfg.H, cfg.R * cfg.X, cfg.P, cfg.X,
+                         cfg.dtype.itemsize) <= 100 * 1024 * 1024
+    return "pallas_mega_tcn" if fits else "pallas_whole_block"
+
+
+def _bench_inference(cfg, params, state, T: int, seg_sec: float) -> dict:
+    """Forward latency at serving batch 8 + latency batch 1 on the auto
+    kernel tier, with the analytic MXU floor fraction (VERDICT r4 #3)."""
+    import dataclasses
+
+    from convtasnet_tpu.models.conv_tasnet import forward as ctn_forward
+
+    on_tpu = jax.default_backend() == "tpu"
+    icfg = dataclasses.replace(cfg, use_pallas=on_tpu)
+    infer = jax.jit(
+        lambda m: ctn_forward(params, state, icfg, m, train=False)[0])
+    rng = np.random.default_rng(1)
+    res = {"kernel_tier": _report_kernel_tier(icfg, T)}
+    for bs in (8, 1):
+        m = jnp.asarray(rng.standard_normal((bs, T)).astype(np.float32))
+        np.asarray(infer(m)[0, 0, :8])  # compile + sync (real value fetch)
+        n_it = 50
+        t0 = time.perf_counter()
+        y = None
+        for _ in range(n_it):
+            y = infer(m)
+        np.asarray(y[0, 0, :8])  # forces the chain; RTT amortizes
+        dt = (time.perf_counter() - t0) / n_it
+        res[f"batch{bs}_ms"] = round(dt * 1e3, 3)
+        if bs == 8:
+            res["batch8_audio_sps"] = round(bs * seg_sec / dt, 1)
+            floor_s = _matmul_flops_forward(icfg, bs, T) / V5E_PEAK_BF16_FLOPS
+            res["mxu_floor_batch8_ms"] = round(floor_s * 1e3, 3)
+            res["batch8_mxu_floor_frac"] = round(floor_s / dt, 3)
+    return res
+
+
 def main():
     from convtasnet_tpu.config import ConvTasNetConfig
     from convtasnet_tpu.data.synthetic import synthetic_batch
@@ -198,6 +266,19 @@ def main():
         "note": "denominator is an UNMEASURED ~22 audio-s/s estimate of "
                 "the reference on era-typical single-GPU hardware",
     }
+
+    # Inference rows (VERDICT r4 #3: the bench JSON must show inference,
+    # not just training): the auto kernel tier (mega-kernel on TPU) at
+    # serving batch 8 and latency batch 1, with the analytic MXU floor
+    # so the achieved fraction is visible. Guarded: a failure here never
+    # hides the training metric. CONVTASNET_BENCH_INFER=0 skips.
+    import os as _os
+    if _os.environ.get("CONVTASNET_BENCH_INFER", "1") != "0":
+        try:
+            out["inference"] = _bench_inference(cfg, params, state, T,
+                                                seg_sec)
+        except Exception as e:  # pragma: no cover
+            out["inference"] = {"error": str(e)[:200]}
 
     # Roofline accounting: FLOPs + HBM bytes of the compiled step (XLA cost
     # analysis), achieved rates, MFU vs the v5e bf16 peak, and fraction of

@@ -74,3 +74,29 @@ def test_streaming_rejects_misaligned_chunk(rng):
     st = init_stream_state(cfg)
     with pytest.raises(ValueError, match="multiple of stride"):
         stream_step(params, st, cfg, jnp.zeros((1, 33)), first=True)
+
+
+def test_streaming_batch4_matches_offline(rng):
+    """Multi-stream serving (round-5 VERDICT item 7): batch=4 independent
+    streams through ONE StreamingSeparator must each reproduce the
+    offline forward on their own waveform — stream state never leaks
+    across the batch dim."""
+    cfg = ConvTasNetConfig(**CAUSAL)
+    params, state = init_params(jax.random.key(4), cfg)
+    T = 256
+    x = rng.standard_normal((4, T)).astype(np.float32) * 0.5
+    offline, _ = forward(params, state, cfg, jnp.asarray(x))
+
+    sep = StreamingSeparator(cfg, params, batch=4)
+    outs = []
+    chunk = 32
+    for i in range(0, T, chunk):
+        outs.append(np.asarray(sep.push(jnp.asarray(x[:, i: i + chunk]))))
+    outs.append(np.asarray(sep.flush()))
+    streamed = np.concatenate(outs, axis=-1)
+
+    T_conv = (cfg.num_frames(T) - 1) * cfg.stride + cfg.L
+    np.testing.assert_allclose(
+        streamed, np.asarray(offline)[..., :T_conv], rtol=1e-4, atol=1e-5)
+    # Sanity that the four streams are genuinely distinct programs of data.
+    assert np.abs(streamed[0] - streamed[1]).max() > 1e-3
