@@ -332,24 +332,36 @@ def test_cp_scaled_geometry_x10_16khz():
     K_pad = cp_padded_frames(cfg, T, 4)
     assert K_pad // 4 >= 1024
 
-    ref, _ = forward(params, state, cfg, mix, train=False)
+    # The parity contract (docs/parity.md): CP equals the single-device
+    # forward on the IDENTICALLY padded signal — the odd length pads one
+    # frame internally and gLN statistics legitimately include it (an
+    # unpadded reference diverges ~0.25 abs after 20 norm layers).
+    T_need = (K_pad - 1) * cfg.stride + cfg.L
+    ref, _ = forward(params, state, cfg,
+                     jnp.pad(mix, ((0, 0), (0, T_need - T))), train=False)
     got = cp_forward(params, state, cfg, mix, mesh)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref)[..., :T],
                                rtol=2e-4, atol=2e-4)
+
+    # Train-step parity at an exactly-divisible length (no internal pad,
+    # so the single-device loss is the literal reference).
+    T2 = (K_pad - 1) * cfg.stride + cfg.L
+    src2 = jnp.asarray(
+        np.random.default_rng(31).standard_normal((2, 2, T2))
+        .astype(np.float32) * 0.3)
+    mix2 = src2.sum(1)
+    lengths2 = jnp.asarray([T2, T2], jnp.int32)
+    from convtasnet_tpu.ops.loss import cal_loss
+
+    est_ref, _ = forward(params, state, cfg, mix2, train=True)
+    ref = float(cal_loss(src2, est_ref, lengths2)[0])
 
     opt = Optimizer("adam", lr=1e-3)
     opt_state = opt.init(params)
-    step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0)
-    _, _, _, loss_cp, _ = step(params, opt_state, state, mix, src, lengths)
-
-    from convtasnet_tpu.ops.loss import cal_loss
-
-    def ref_loss(p):
-        est, _ = forward(p, state, cfg, mix, train=True)
-        return cal_loss(src, est, lengths)[0]
-
-    np.testing.assert_allclose(float(loss_cp), float(ref_loss(params)),
-                               rtol=1e-5)
+    step = make_cp_train_step(cfg, opt, mesh, max_norm=5.0)  # donates args
+    _, _, _, loss_cp, _ = step(params, opt_state, state, mix2, src2,
+                               lengths2)
+    np.testing.assert_allclose(float(loss_cp), ref, rtol=1e-5)
 
 
 @pytest.mark.slow
