@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chunk duration = algorithmic latency; rounded up "
                         "to an encoder-stride multiple, with a floor of one "
                         "encoder frame (L samples) so a chunk can be framed")
+    p.add_argument("--batch", default=1, type=int,
+                   help="concurrent streams per chunk step (serving): files "
+                        "are grouped and streamed together through one "
+                        "stateful separator; outputs are identical to "
+                        "batch=1 (state never leaks across the batch dim — "
+                        "tests/test_streaming.py batch-4 parity)")
     return p
 
 
@@ -76,16 +82,22 @@ def stream_files(args) -> int:
     chunk_len = -(-chunk_len // S) * S  # stride multiple (stream_step req.)
     os.makedirs(args.out_dir, exist_ok=True)
 
-    sep = StreamingSeparator(cfg, params, batch=1)
+    B = max(1, args.batch)
+    sep = StreamingSeparator(cfg, params, batch=B)
     written = 0
-    for path in paths:
-        mix, _sr = read_wav(path, sample_rate=args.sample_rate)
-        T = mix.shape[0]
-        n_chunks = max(-(-T // chunk_len), 1)
-        padded = np.zeros((1, n_chunks * chunk_len), np.float32)
-        padded[0, :T] = mix
+    for g in range(0, len(paths), B):
+        group = paths[g: g + B]
+        mixes = [read_wav(p, sample_rate=args.sample_rate)[0] for p in group]
+        Ts = [m.shape[0] for m in mixes]
+        n_chunks = max(max(-(-t // chunk_len), 1) for t in Ts)
+        # One padded block for the whole group; a final group smaller than
+        # B feeds zero rows (independent streams — their outputs are
+        # simply never written).
+        padded = np.zeros((B, n_chunks * chunk_len), np.float32)
+        for b, m in enumerate(mixes):
+            padded[b, : Ts[b]] = m
 
-        # Fresh stream per utterance; the jitted chunk step is reused.
+        # Fresh streams per group; the jitted chunk step is reused.
         sep.reset()
 
         outs = []
@@ -96,23 +108,30 @@ def stream_files(args) -> int:
         outs.append(np.asarray(sep.flush()))
         dt = time.perf_counter() - t0
 
-        est = np.concatenate(outs, axis=-1)[0]  # [C, >=T]
-        if est.shape[-1] < T:
-            est = np.pad(est, ((0, 0), (0, T - est.shape[-1])))
-        base = os.path.basename(path)
-        if base.endswith(".wav"):
-            base = base[:-4]
-        out_base = os.path.join(args.out_dir, base)
-        write_wav(out_base + ".wav", mix, args.sample_rate)
-        for c in range(cfg.C):
-            write_wav(f"{out_base}_s{c + 1}.wav", est[c, :T], args.sample_rate)
-        written += 1
+        ests = np.concatenate(outs, axis=-1)  # [B, C, >=max T]
+        for b, path in enumerate(group):
+            T = Ts[b]
+            est = ests[b]
+            if est.shape[-1] < T:
+                est = np.pad(est, ((0, 0), (0, T - est.shape[-1])))
+            base = os.path.basename(path)
+            if base.endswith(".wav"):
+                base = base[:-4]
+            out_base = os.path.join(args.out_dir, base)
+            write_wav(out_base + ".wav", mixes[b], args.sample_rate)
+            for c in range(cfg.C):
+                write_wav(f"{out_base}_s{c + 1}.wav", est[c, :T],
+                          args.sample_rate)
+            written += 1
 
-        audio_sec = T / args.sample_rate
-        print(f"{base}: {audio_sec:.2f} s in {dt:.3f} s wall | "
+        audio_sec = max(Ts) / args.sample_rate
+        names = os.path.basename(group[0]) + (
+            f" (+{len(group) - 1})" if len(group) > 1 else "")
+        print(f"{names}: {len(group)} stream(s), {audio_sec:.2f} s in "
+              f"{dt:.3f} s wall | "
               f"chunk {1000 * chunk_len / args.sample_rate:.1f} ms | "
               f"{1000 * dt / n_chunks:.2f} ms/chunk | RTF {dt / audio_sec:.3f}"
-              + (" (includes jit compile)" if written == 1 else ""))
+              + (" (includes jit compile)" if g == 0 else ""))
     return written
 
 

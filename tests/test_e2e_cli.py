@@ -245,3 +245,55 @@ def test_stream_cli_rejects_noncausal(tmp_path):
     with pytest.raises(SystemExit, match="causal"):
         stream_main(["--model_path", ckpt, "--wav", wav_path,
                      "--out_dir", str(tmp_path / "o")])
+
+
+def test_stream_cli_batch_serving(tmp_path):
+    """--batch groups files into concurrent streams (round-5 serving
+    path); every file's output must still equal its own offline forward,
+    including a final part-filled group (zero-row streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    from convtasnet_tpu.cli.stream import main as stream_main
+    from convtasnet_tpu.config import ConvTasNetConfig
+    from convtasnet_tpu.data.wavio import read_wav, write_wav
+    from convtasnet_tpu.models.conv_tasnet import forward, init_params
+    from convtasnet_tpu.training.checkpoint import save_checkpoint
+
+    cfg = ConvTasNetConfig(N=16, L=8, B=12, H=24, P=3, X=2, R=2, C=2,
+                           norm_type="cLN", causal=True,
+                           compute_dtype="float32", use_pallas=False)
+    params, state = init_params(jax.random.key(1), cfg)
+    ckpt = str(tmp_path / "causal.ckpt")
+    save_checkpoint(ckpt, cfg, params, state)
+
+    rng = np.random.default_rng(9)
+    lengths = [4320, 3200, 2720]  # distinct lengths across/within groups
+    wavs = []
+    for i, T in enumerate(lengths):
+        w = str(tmp_path / f"utt{i}.wav")
+        write_wav(w, (0.05 * rng.standard_normal(T)).astype(np.float32), 8000)
+        wavs.append(w)
+
+    out_dir = str(tmp_path / "stream_out")
+    argv = ["--model_path", ckpt, "--out_dir", out_dir, "--chunk_ms", "20",
+            "--batch", "2"]
+    for w in wavs:
+        argv += ["--wav", w]
+    assert stream_main(argv) == 3
+
+    # Reference = offline forward on the signal padded to the GROUP's
+    # streamed length: a shorter stream in a group receives extra encoder
+    # frames whose windows overlap its real tail, so its last L-S samples
+    # legitimately differ from a solo run (0.5 ms boundary effect).
+    group_len = [4320, 4320, 2720]  # ceil(maxT/chunk)*chunk per group
+    for i, w in enumerate(wavs):
+        mix_q, _ = read_wav(w)
+        mix_pad = np.pad(mix_q, (0, group_len[i] - len(mix_q)))
+        est, _ = forward(params, state, cfg, jnp.asarray(mix_pad[None]),
+                         train=False)
+        ref = np.asarray(est)[0]
+        for c in range(cfg.C):
+            got, sr = read_wav(os.path.join(out_dir, f"utt{i}_s{c + 1}.wav"))
+            assert got.shape[0] == lengths[i]
+            np.testing.assert_allclose(got, ref[c, :lengths[i]], atol=5e-4)
