@@ -410,7 +410,7 @@ def test_two_process_evaluate_separate_cli(tmp_path):
         "PYTHONPATH": repo,
     })
 
-    def run_pair(module, extra):
+    def run_pair(module, extra, _retry=True):
         port = _free_port()
         argv = lambda pid: [
             sys.executable, "-m", module,
@@ -427,6 +427,14 @@ def test_two_process_evaluate_separate_cli(tmp_path):
             for p in procs:
                 out, _ = p.communicate(timeout=600)
                 outs.append(out)
+            # Gloo's rendezvous has a fixed 30 s key-exchange deadline; on
+            # this 2-core host a rank starved by concurrent load can miss
+            # it (observed once under soak + full-suite contention). That
+            # is infrastructure, not product logic — retry exactly once.
+            if (_retry and any(p.returncode != 0 for p in procs)
+                    and any("Gloo context initialization failed" in o
+                            for o in outs)):
+                return run_pair(module, extra, _retry=False)
             for p, out in zip(procs, outs):
                 assert p.returncode == 0, out[-3000:]
         finally:
