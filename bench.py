@@ -176,13 +176,22 @@ def _bench_inference(cfg, params, state, T: int, seg_sec: float) -> dict:
     for bs in (8, 1):
         m = jnp.asarray(rng.standard_normal((bs, T)).astype(np.float32))
         np.asarray(infer(m)[0, 0, :8])  # compile + sync (real value fetch)
+
+        # Slope between a short and a long chain, each ending in a real
+        # device->host fetch: at ~0.5-5 ms forwards the tunnel's fixed
+        # RTT would otherwise inflate the figure by ~10-100% even
+        # amortized over 50 calls (CLAUDE.md measurement discipline).
+        def chain(n):
+            t0 = time.perf_counter()
+            y = None
+            for _ in range(n):
+                y = infer(m)
+            np.asarray(y[0, 0, :8])
+            return time.perf_counter() - t0
+
+        chain(2)
         n_it = 50
-        t0 = time.perf_counter()
-        y = None
-        for _ in range(n_it):
-            y = infer(m)
-        np.asarray(y[0, 0, :8])  # forces the chain; RTT amortizes
-        dt = (time.perf_counter() - t0) / n_it
+        dt = max((chain(2 * n_it) - chain(n_it)) / n_it, 1e-9)
         res[f"batch{bs}_ms"] = round(dt * 1e3, 3)
         if bs == 8:
             res["batch8_audio_sps"] = round(bs * seg_sec / dt, 1)
