@@ -217,7 +217,13 @@ def _use_fused_whole(cfg: ConvTasNetConfig, bstate, x: jnp.ndarray,
         need = (2 * K * cfg.H + 2 * (K + 2 * span) * cfg.H  # y1/c + b/dz
                 + 6 * K * cfg.B                             # x/g/dx pipelined
                 ) * it + 12 * cfg.B * cfg.H                 # f32 w-grad accums
-        return need <= 96 * 1024 * 1024
+        # 48 MiB, not the 128 MiB VMEM: Mosaic's per-op scoped temporaries
+        # roughly double the accounted slabs. Measured on v5e (round 5,
+        # scaled-config probes): the VJP kernel compiles at 44 MB
+        # accounted (K=2048, H=1024) and F-checks the TPU compile helper
+        # at 67 MB (K=4096, H=1024) — the bound sits between, so
+        # out-of-range configs fall back to XLA instead of crashing.
+        return need <= 48 * 1024 * 1024
     if train:  # hybrid: forward kernel with resident y1/c residual slabs
         need = (2 * K * cfg.B + (K + 2 * span) * cfg.H + 2 * K * cfg.H
                 + 2 * cfg.B * cfg.H) * it
@@ -363,6 +369,21 @@ def separate(
     body = (jax.checkpoint(repeat_body)
             if cfg.remat in (True, "repeat") else repeat_body)
     unroll = max(1, int(getattr(cfg, "scan_unroll", 1)))
+    # XLA:TPU compiler-crash workaround (measured round 5 on v5e with this
+    # image's libtpu): the ROLLED scan over the R repeats drives the TPU
+    # compile helper into a fatal subprocess crash once the per-block slab
+    # reaches [K >= 4096, H = 1024] (bf16; X in {8, 10}; pure XLA — no
+    # Pallas involved). The identical program compiles and runs with the
+    # body unrolled, as do K = 2048 or H = 512 rolled (full probe matrix
+    # in docs/results.md round 5). Unrolling is semantically identical and
+    # the measured-fastest schedule anyway (round 1), so auto-unroll in
+    # the crash regime instead of handing users an opaque INTERNAL error.
+    # Probe matrix: [K=3999..8064, H=1024] rolled all crash; [K=2048,
+    # H=1024], [K=4096, H=512] rolled both compile — so the guard trips
+    # strictly above the largest measured-good K*H product (2048*1024).
+    if (unroll == 1 and jax.default_backend() == "tpu"
+            and x.shape[1] * cfg.H > 2048 * 1024):
+        unroll = cfg.R
     if has_bn:
         x, new_block_state = jax.lax.scan(body, x, (block_params, block_state),
                                           unroll=unroll)

@@ -321,3 +321,27 @@ def test_whole_tcn_fold_matches_unfolded(norm_type, causal, K):
     got = whole_tcn_pallas(*args, interpret=True, fold_norm2=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_whole_vjp_dispatch_bounds_scaled_config():
+    """Round-5 hardware finding: the whole-block VJP kernel compiles at
+    44 MB accounted VMEM (K=2048, H=1024) but F-checks the TPU compile
+    helper at 67 MB (K=4096, H=1024) — Mosaic's scoped temporaries
+    roughly double the accounted slabs. The dispatch bound (48 MiB) must
+    admit the measured-good point and reject the measured-crash point so
+    scaled configs fall back to XLA instead of crashing the compiler."""
+    import jax.numpy as jnp
+
+    from convtasnet_tpu.models.conv_tasnet import _use_fused_whole
+
+    cfg = ConvTasNetConfig(N=256, L=32, B=256, H=1024, P=3, X=10, R=6,
+                           C=2, use_pallas="whole",
+                           compute_dtype="bfloat16")
+    ok = jnp.zeros((1, 2048, 256), jnp.bfloat16)
+    crash = jnp.zeros((1, 3999, 256), jnp.bfloat16)  # 4 s @ 16 kHz
+    assert _use_fused_whole(cfg, None, ok, train=True)
+    assert not _use_fused_whole(cfg, None, crash, train=True)
+    # The paper config stays comfortably inside the bound.
+    paper = ConvTasNetConfig(use_pallas="whole", compute_dtype="bfloat16")
+    x = jnp.zeros((1, 3199, 256), jnp.bfloat16)  # 4 s @ 8 kHz
+    assert _use_fused_whole(paper, None, x, train=True)
