@@ -65,9 +65,13 @@ def test_bench_streaming_tiny():
     (tools/bench_streaming.py)."""
     from tools.bench_streaming import main as streaming_main
 
-    rows = streaming_main(["--tiny", "--chunks_ms", "20", "--steps", "3"])
+    rows = streaming_main(["--tiny", "--chunks_ms", "20", "--steps", "10"])
     assert len(rows) == 1
-    assert rows[0]["latency_ms"] > 0 and rows[0]["rtf"] > 0
+    # Slope timing (long chain minus short chain) can legitimately round
+    # to ~0 for a tiny CPU model under host-load noise — assert structure
+    # and non-negativity, not a positive floor.
+    assert rows[0]["latency_ms"] >= 0 and rows[0]["rtf"] >= 0
+    assert "streams_per_chip_rt" in rows[0] and rows[0]["chunk_ms"] == 20.0
 
 
 def test_enable_compilation_cache(tmp_path, monkeypatch):
